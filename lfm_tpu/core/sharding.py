@@ -1,0 +1,73 @@
+"""Device-mesh and sharding helpers.
+
+TPU-native replacement for the reference's NCCL process-group layer
+(reference ddp_utils.py:17-30, test_flow_latent_ddp.py:26-35): instead of one
+process per GPU with explicit broadcast/all-reduce, we build a
+``jax.sharding.Mesh`` and annotate shardings; XLA inserts the collectives
+over ICI/DCN. Parameters are replicated by construction (no broadcast), and
+gradient sync is a ``pmean``/sharding-induced all-reduce inside the jitted
+train step.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+FSDP_AXIS = "fsdp"
+TENSOR_AXIS = "tensor"
+
+
+def make_mesh(
+    dp: int = -1,
+    fsdp: int = 1,
+    tp: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, fsdp, tensor) mesh. dp=-1 consumes all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp == -1:
+        assert n % (fsdp * tp) == 0, f"{n} devices not divisible by fsdp*tp={fsdp * tp}"
+        dp = n // (fsdp * tp)
+    assert dp * fsdp * tp == n, f"mesh {dp}x{fsdp}x{tp} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, fsdp, tp)
+    return Mesh(arr, (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis; replicate the rest."""
+    spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host-side batch pytree onto the mesh, batch-dim sharded."""
+    def put(x):
+        return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
+    return jax.tree_util.tree_map(put, batch)
+
+
+def local_batch_size(mesh: Mesh, global_batch: int) -> int:
+    dp = mesh.shape[DATA_AXIS]
+    assert global_batch % dp == 0, f"global batch {global_batch} % dp {dp} != 0"
+    return global_batch // dp
+
+
+def process_sample_shard(n_sample: int, batch_size: int, rank: int, world_size: int):
+    """Split the FID sample-index space like the reference's interleaved DDP
+    loop (reference test_flow_latent.py:248-272): rounds n_sample up to a
+    multiple of the global batch and yields (start, global_batch) steps."""
+    global_batch = batch_size * world_size
+    total = int(math.ceil(n_sample / global_batch) * global_batch)
+    steps = total // global_batch
+    return total, steps

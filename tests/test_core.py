@@ -1,0 +1,108 @@
+"""Core subsystem tests: deterministic RNG, config presets, mesh helpers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lfm_tpu.core import (
+    PRESETS,
+    SampleRNG,
+    get_generator,
+    get_preset,
+    load_argfile,
+    make_mesh,
+    shard_batch,
+)
+from lfm_tpu.core.sharding import DATA_AXIS, process_sample_shard
+
+
+def test_sample_rng_world_size_invariant():
+    """The union of per-rank draws must be identical for any world size —
+    the property the reference's DeterministicGenerator provides
+    (sampler/random_util.py:36-97)."""
+    rng = SampleRNG(seed=42, num_samples=32)
+    shape = (4, 8, 8)
+
+    # world_size=1: one rank draws samples 0..15
+    full = rng.randn(jnp.arange(16), shape)
+
+    # world_size=4: four ranks draw interleaved batches of 4
+    per_rank = {}
+    for rank in range(4):
+        idx = rng.batch_indices(done=0, batch=4, rank=rank, world_size=4)
+        per_rank[rank] = (np.asarray(idx), np.asarray(rng.randn(idx, shape)))
+
+    for rank, (idx, vals) in per_rank.items():
+        np.testing.assert_array_equal(vals, np.asarray(full)[idx])
+
+
+def test_sample_rng_batch_size_invariant():
+    rng = SampleRNG(seed=7)
+    a = rng.randn(jnp.arange(8), (2, 2))
+    b1 = rng.randn(jnp.arange(0, 4), (2, 2))
+    b2 = rng.randn(jnp.arange(4, 8), (2, 2))
+    np.testing.assert_array_equal(np.asarray(a), np.concatenate([b1, b2], 0))
+
+
+def test_randint_distinct_from_randn():
+    rng = SampleRNG(seed=0)
+    labels = np.asarray(rng.randint(jnp.arange(1000), 0, 1000))
+    assert labels.min() >= 0 and labels.max() < 1000
+    assert len(np.unique(labels)) > 100  # not degenerate
+
+
+def test_generator_factory():
+    assert isinstance(get_generator("determ", 10, 0), SampleRNG)
+    assert isinstance(get_generator("determ-indiv", 10, 0), SampleRNG)
+    g = get_generator("dummy", seed=3)
+    x1, x2 = g.randn((2, 2)), g.randn((2, 2))
+    assert not np.array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_presets_cover_all_released_configs():
+    expected = {
+        "celeb256_dit", "ffhq_dit", "bed_dit", "church_dit", "imnet_dit",
+        "celeb256_adm", "celeb512_adm", "ffhq_adm", "bed_adm", "church_adm",
+        "imnet_adm",
+    }
+    assert expected <= set(PRESETS)
+    c = get_preset("celeb256_dit")
+    assert c.model.model_type == "DiT-L/2"
+    assert c.sample.epoch_id == 475
+    assert c.scale_factor == 0.18215
+    i = get_preset("imnet_dit")
+    assert i.sample.cfg_scale == 1.5
+    assert i.model.num_classes == 1000
+    a512 = get_preset("celeb512_adm")
+    assert a512.model.ch_mult == (1, 2, 2, 2, 4)
+    assert a512.model.use_origin_adm
+
+
+def test_load_argfile(tmp_path):
+    p = tmp_path / "my.txt"
+    p.write_text(
+        'MODEL_TYPE=adm\nEPOCH_ID=425\nDATASET=lsun_bedroom\nEXP=bed_f8_adm\n'
+        'METHOD=dopri5\nSTEPS=0\nUSE_ORIGIN_ADM=false\nIMG_SIZE=256\n'
+        'CH_MULT="1 2 3 4"\nATTN_RES="16 8 4"\n'
+    )
+    c = load_argfile(str(p))
+    assert c.model.ch_mult == (1, 2, 3, 4)
+    assert c.model.attn_resolutions == (16, 8, 4)
+    assert not c.model.use_origin_adm
+    assert c.sample.method == "dopri5"
+    assert not c.sample.use_karras_samplers
+
+
+def test_mesh_and_shard_batch(mesh8):
+    assert mesh8.shape[DATA_AXIS] == 8
+    x = np.ones((16, 4, 8, 8), np.float32)
+    sharded = shard_batch(mesh8, {"x": x})
+    assert sharded["x"].shape == (16, 4, 8, 8)
+    assert len(sharded["x"].sharding.device_set) == 8
+
+
+def test_process_sample_shard():
+    total, steps = process_sample_shard(n_sample=50000, batch_size=200, rank=0, world_size=8)
+    assert total % (200 * 8) == 0
+    assert total >= 50000
+    assert steps == total // 1600

@@ -1,0 +1,131 @@
+"""ODE solver unit tests vs scipy.integrate.solve_ivp (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.integrate import solve_ivp
+
+from lfm_tpu.ode import odeint, karras_sample, karras_sigmas, sample_euler_karras
+
+# A mildly stiff linear system dy/dt = A y with known dynamics.
+_A = np.array([[-0.5, 1.2], [-1.2, -0.5]], dtype=np.float64)
+
+
+def _field(t, y):
+    return y @ jnp.asarray(_A, jnp.float32).T
+
+
+def _scipy_solution(y0, t0=1.0, t1=0.0):
+    sol = solve_ivp(
+        lambda t, y: (_A @ y.reshape(-1, 2).T).T.reshape(-1),
+        (t0, t1),
+        np.asarray(y0, np.float64).reshape(-1),
+        rtol=1e-9,
+        atol=1e-9,
+        dense_output=False,
+        method="DOP853",
+    )
+    return sol.y[:, -1].reshape(y0.shape)
+
+
+@pytest.fixture(scope="module")
+def y0():
+    return jnp.asarray(np.random.default_rng(0).normal(size=(4, 2)), jnp.float32)
+
+
+@pytest.mark.parametrize("method", ["dopri5", "bosh3", "adaptive_heun", "dopri8"])
+def test_adaptive_matches_scipy(method, y0):
+    ref = _scipy_solution(y0)
+    res = odeint(_field, y0, 1.0, 0.0, method=method, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.y), ref, rtol=2e-4, atol=2e-5)
+    assert float(res.nfe) > 0
+    assert int(res.num_steps) > 0
+
+
+@pytest.mark.parametrize("method,steps,tol", [
+    ("euler", 2000, 2e-3),
+    ("midpoint", 200, 1e-4),
+    ("heun", 200, 1e-4),
+    ("rk4", 50, 1e-5),
+])
+def test_fixed_step_matches_scipy(method, steps, tol, y0):
+    ref = _scipy_solution(y0)
+    res = odeint(_field, y0, 1.0, 0.0, method=method, num_steps=steps)
+    np.testing.assert_allclose(np.asarray(res.y), ref, rtol=tol, atol=tol)
+    assert float(res.nfe) == steps * {"euler": 1, "midpoint": 2, "heun": 2, "rk4": 4}[method]
+
+
+def test_adaptive_under_jit(y0):
+    fn = jax.jit(lambda y: odeint(_field, y, 1.0, 0.0, method="dopri5").y)
+    ref = _scipy_solution(y0)
+    np.testing.assert_allclose(np.asarray(fn(y0)), ref, rtol=1e-3, atol=1e-4)
+
+
+def test_adaptive_tolerance_controls_nfe(y0):
+    loose = odeint(_field, y0, 1.0, 0.0, method="dopri5", rtol=1e-2, atol=1e-2)
+    tight = odeint(_field, y0, 1.0, 0.0, method="dopri5", rtol=1e-8, atol=1e-8)
+    assert float(tight.nfe) > float(loose.nfe)
+
+
+def test_convergence_order_euler():
+    """Halving step size should halve euler error (order 1)."""
+    y0 = jnp.asarray([[1.0, 0.0]], jnp.float32)
+    ref = _scipy_solution(np.asarray(y0))
+    e = []
+    for steps in (100, 200, 400):
+        y = odeint(_field, y0, 1.0, 0.0, method="euler", num_steps=steps).y
+        e.append(float(jnp.max(jnp.abs(y - ref))))
+    assert 1.7 < e[0] / e[1] < 2.3
+    assert 1.7 < e[1] / e[2] < 2.3
+
+
+def test_karras_euler_equals_fixed_euler():
+    """The Karras euler loop over linspace(1, 1e-5) must agree with a plain
+    euler integration over the same grid."""
+    y0 = jnp.asarray(np.random.default_rng(1).normal(size=(2, 2)), jnp.float32)
+    sigmas = karras_sigmas(40)
+
+    def denoiser(x, sigma):
+        return _field(sigma, x)
+
+    out = sample_euler_karras(denoiser, y0, sigmas)
+
+    # manual loop
+    x = np.asarray(y0, np.float64)
+    s = np.asarray(sigmas, np.float64)
+    for i in range(len(s) - 1):
+        x = x + (x @ _A.T) * (s[i + 1] - s[i])
+    np.testing.assert_allclose(np.asarray(out), x, rtol=1e-4, atol=1e-5)
+
+
+def test_karras_heun_more_accurate_than_euler():
+    y0 = jnp.asarray(np.random.default_rng(2).normal(size=(2, 2)), jnp.float32)
+    ref = _scipy_solution(np.asarray(y0), t0=1.0, t1=1e-5)
+
+    def model_fn(x, sigma):
+        return _field(sigma, x)
+
+    eu = karras_sample(model_fn, y0, 20, sampler="euler")
+    he = karras_sample(model_fn, y0, 20, sampler="heun")
+    err_eu = float(jnp.max(jnp.abs(eu - ref)))
+    err_he = float(jnp.max(jnp.abs(he - ref)))
+    assert err_he < err_eu
+
+
+def test_pytree_state():
+    y0 = {"a": jnp.ones((2, 2)), "b": jnp.zeros((3,))}
+
+    def f(t, y):
+        return {"a": -y["a"], "b": y["b"] * 0.0 + 1.0}
+
+    res = odeint(f, y0, 0.0, 1.0, method="dopri5")
+    np.testing.assert_allclose(np.asarray(res.y["a"]), np.exp(-1.0) * np.ones((2, 2)), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.y["b"]), np.ones(3), rtol=1e-4)
+
+
+def test_nfe_counts_dopri5(y0):
+    res = odeint(_field, y0, 1.0, 0.0, method="dopri5", rtol=1e-5, atol=1e-5)
+    # 2 initial evals + 6 per attempted step (FSAL)
+    expected = 2 + 6 * (int(res.num_steps) + int(res.num_rejected))
+    assert float(res.nfe) == expected
