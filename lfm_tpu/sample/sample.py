@@ -1,0 +1,113 @@
+"""Single-host sampling pipeline: noise -> ODE integrate -> VAE decode.
+
+Rebuilds the reference's ``run_sampling`` closure (reference
+test_flow_latent.py:161-194) as one jitted XLA program: latent noise (counter
+-based per-sample RNG), optional CFG (evaluated as a fused 2N batch, see
+ode/cfg.py), adaptive or Karras fixed-step integration, latent unscale, VAE
+decode, and [0,1] clamp — zero host round-trips per batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lfm_tpu.core.config import Config
+from lfm_tpu.core.rng import SampleRNG
+from lfm_tpu.ode import karras_sample, odeint
+from lfm_tpu.ode.cfg import cfg_velocity, plain_velocity
+
+ADAPTIVE_SOLVER = ("dopri5", "dopri8", "adaptive_heun", "bosh3")
+FIXED_SOLVER = ("euler", "rk4", "midpoint", "heun")
+
+
+class SampleOutput(NamedTuple):
+    images: jnp.ndarray  # (N, H, W, 3) in [0, 1]
+    latents: jnp.ndarray
+    nfe: jnp.ndarray
+
+
+def build_velocity(model, params, y: Optional[jnp.ndarray], cfg_scale: float,
+                   num_classes: Optional[int]):
+    """v(t, x) closure, CFG-fused when cfg_scale > 1 (test_flow_latent.py:55-59)."""
+    def apply(t, x, yy):
+        return model.apply(params, t, x, yy)
+
+    if y is not None and cfg_scale > 1.0:
+        null = getattr(model, "null_label", None)
+        null_label = null if null is not None else 0
+        y_null = jnp.full_like(y, null_label)
+        return cfg_velocity(apply, y, y_null, cfg_scale)
+    return plain_velocity(apply, y)
+
+
+def sample_latents(
+    velocity: Callable,
+    x_noise: jnp.ndarray,
+    *,
+    method: str = "dopri5",
+    atol: float = 1e-5,
+    rtol: float = 1e-5,
+    num_steps: int = 40,
+    step_size: float = 0.01,
+    use_karras: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Integrate t: 1 -> 0. Returns (z_0, nfe)."""
+    if use_karras:
+        z = karras_sample(
+            lambda x, sigma: velocity(sigma, x), x_noise, num_steps,
+            sampler=method if method in ("euler", "heun") else "euler",
+        )
+        per_step = 2 if method == "heun" else 1
+        return z, jnp.asarray(float(num_steps * per_step), jnp.float32)
+    if method in ADAPTIVE_SOLVER:
+        res = odeint(velocity, x_noise, 1.0, 0.0, method=method, atol=atol, rtol=rtol)
+        return res.y, res.nfe
+    res = odeint(velocity, x_noise, 1.0, 0.0, method=method,
+                 num_steps=num_steps, step_size=step_size)
+    return res.y, res.nfe
+
+
+def make_sampler(
+    config: Config,
+    model,
+    params,
+    vae=None,
+    vae_params=None,
+    *,
+    jit: bool = True,
+) -> Callable:
+    """Returns sample_fn(noise, y) -> SampleOutput. Decode is skipped when no
+    VAE is provided (latents returned as 'images' for latent-space tests)."""
+    sc = config.sample
+    num_classes = config.model.num_classes
+
+    def fn(noise: jnp.ndarray, y: Optional[jnp.ndarray] = None) -> SampleOutput:
+        velocity = build_velocity(model, params, y, sc.cfg_scale, num_classes)
+        z0, nfe = sample_latents(
+            velocity, noise,
+            method=sc.method, atol=sc.atol, rtol=sc.rtol,
+            num_steps=sc.num_steps, step_size=sc.step_size,
+            use_karras=sc.use_karras_samplers,
+        )
+        if vae is None:
+            return SampleOutput(images=z0, latents=z0, nfe=nfe)
+        img = vae.apply(vae_params, z0 / config.scale_factor, method=type(vae).decode)
+        img = jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)  # test_flow_latent.py:128,266
+        return SampleOutput(images=img, latents=z0, nfe=nfe)
+
+    return jax.jit(fn) if jit else fn
+
+
+def noise_and_labels(config: Config, rng: SampleRNG, indices) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Per-sample-index latent noise + labels (test_flow_latent.py:162-169)."""
+    s = config.model.latent_size
+    noise = rng.randn(indices, (s, s, config.model.num_in_channels))
+    y = None
+    nc = config.model.num_classes
+    if nc is not None and nc > 1:
+        y = rng.randint(indices, 0, nc)
+    return noise, y

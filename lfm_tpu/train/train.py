@@ -1,0 +1,95 @@
+"""Data-parallel flow-matching train step (pjit over a device mesh).
+
+TPU-native redesign of the reference hot loop (reference
+train_flow_latent.py:135-170): one jitted step fuses VAE-encode (frozen),
+the FM interpolant/loss, backward, AdamW, and the EMA update. Gradient
+all-reduce is induced by shardings — the batch is sharded over the ``data``
+axis, params are replicated, so XLA inserts the psum over ICI (replacing
+accelerate/DDP's NCCL all-reduce, train_flow_latent.py:91,154).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lfm_tpu.core.config import Config
+from lfm_tpu.core.sharding import DATA_AXIS
+from lfm_tpu.ode.flow import interpolate
+from lfm_tpu.train.state import TrainState, ema_update, make_optimizer
+
+
+class StepMetrics(NamedTuple):
+    loss: jnp.ndarray
+    grad_norm: jnp.ndarray
+
+
+def make_train_step(
+    model_apply: Callable,  # (params, t, z_t, y, rngs) -> v
+    tx,
+    *,
+    ema_decay: float = 0.9999,
+    use_ema: bool = True,
+    encode_fn: Optional[Callable] = None,  # (batch_x, key) -> latents (frozen VAE)
+    scale_factor: float = 0.18215,
+    is_latent_data: bool = False,
+    label_dropout: bool = False,
+):
+    """Build the jittable train step.
+
+    batch = {"x": images NHWC in [-1,1] (or pre-encoded latents), "y": labels or None}
+    """
+
+    def loss_fn(params, z0, y, key):
+        kt, kn, kd = jax.random.split(key, 3)
+        t = jax.random.uniform(kt, (z0.shape[0],), jnp.float32)
+        z1 = jax.random.normal(kn, z0.shape, z0.dtype)
+        z_t, u = interpolate(z0, z1, t)
+        rngs = {"label_dropout": kd} if label_dropout else None
+        v = model_apply(params, t, z_t, y, rngs=rngs)
+        return jnp.mean(jnp.square(v.astype(jnp.float32) - u.astype(jnp.float32)))
+
+    def train_step(state: TrainState, batch, key: jax.Array):
+        x = batch["x"]
+        y = batch.get("y", None)
+        k_enc, k_loss = jax.random.split(jax.random.fold_in(key, state.step))
+        if is_latent_data or encode_fn is None:
+            z0 = x * scale_factor if is_latent_data else x
+        else:
+            z0 = encode_fn(x, k_enc) * scale_factor
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, z0, y, k_loss)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+        ema = (
+            ema_update(state.ema_params, params, ema_decay) if use_ema else params
+        )
+        gnorm = jnp.sqrt(
+            sum(jnp.sum(jnp.square(g)) for g in jax.tree_util.tree_leaves(grads))
+        )
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema
+        )
+        return new_state, StepMetrics(loss=loss, grad_norm=gnorm)
+
+    return train_step
+
+
+def jit_train_step(train_step, mesh: Mesh):
+    """jit with explicit shardings: state replicated, batch data-sharded."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+
+    def shard_like_batch(batch_tree):
+        return jax.tree_util.tree_map(lambda _: data, batch_tree)
+
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, None, repl),  # batch sharding set per-arg at call
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,149 @@
+"""End-to-end slice tests: train a tiny DiT on synthetic latents over the
+8-device CPU mesh, then sample with every solver family."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lfm_tpu.core.config import Config, ModelConfig, SampleConfig, TrainConfig
+from lfm_tpu.core.rng import SampleRNG
+from lfm_tpu.core.sharding import replicated, shard_batch
+from lfm_tpu.nn.dit import DiT
+from lfm_tpu.sample.sample import make_sampler, noise_and_labels
+from lfm_tpu.train.state import create_train_state, make_optimizer
+from lfm_tpu.train.train import make_train_step
+
+
+def _tiny_model():
+    return DiT(img_resolution=8, patch_size=2, in_channels=4, hidden_size=64,
+               depth=2, num_heads=4, num_classes=1)
+
+
+def _tiny_config(**sample_kw):
+    return Config(
+        model=ModelConfig(model_type="DiT-S/2", image_size=64, num_classes=1),
+        sample=SampleConfig(**sample_kw),
+    )
+
+
+@pytest.fixture(scope="module")
+def trained():
+    """Train the tiny DiT on latents drawn from N(mu, 0.25) for 30 steps."""
+    model = _tiny_model()
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1,)), jnp.zeros((1, 8, 8, 4)), None)
+
+    cfg = TrainConfig(lr=3e-3, no_lr_decay=True, use_ema=True, ema_decay=0.9)
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    state = create_train_state(params, cfg, steps_per_epoch=10)
+
+    def model_apply(p, t, z, y, rngs=None):
+        return model.apply(p, t, z, y)
+
+    step = make_train_step(model_apply, tx, ema_decay=cfg.ema_decay,
+                           use_ema=True, is_latent_data=False, scale_factor=1.0)
+    step = jax.jit(step, donate_argnums=(0,))
+
+    data_key = jax.random.PRNGKey(7)
+    losses = []
+    for i in range(150):
+        k = jax.random.fold_in(data_key, i)
+        z0 = 1.0 + 0.5 * jax.random.normal(k, (32, 8, 8, 4))
+        state, m = step(state, {"x": z0, "y": None}, jax.random.PRNGKey(1))
+        losses.append(float(m.loss))
+    return model, state, losses
+
+
+def test_loss_decreases(trained):
+    _, _, losses = trained
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    assert np.isfinite(losses).all()
+
+
+def test_ema_differs_from_params(trained):
+    _, state, _ = trained
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params, state.ema_params
+    )
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+@pytest.mark.parametrize("method,karras,steps", [
+    ("dopri5", False, 0),
+    ("euler", False, 50),
+    ("euler", True, 40),
+    ("heun", True, 20),
+])
+def test_sample_distribution(trained, method, karras, steps):
+    """Sampling from the trained field should land near the latent
+    distribution N(1, 0.25) it was trained on."""
+    model, state, _ = trained
+    config = _tiny_config(method=method, use_karras_samplers=karras,
+                          num_steps=steps or 40)
+    sampler = make_sampler(config, model, state.ema_params, jit=True)
+    rng = SampleRNG(seed=0)
+    noise = rng.randn(jnp.arange(256), (8, 8, 4))
+    out = sampler(noise)
+    mean = float(out.images.mean())
+    std = float(out.images.std())
+    assert abs(mean - 1.0) < 0.25, (method, mean)
+    assert abs(std - 0.5) < 0.35, (method, std)
+    assert float(out.nfe) > 0
+
+
+def test_train_step_on_mesh(mesh8, trained):
+    """The same step runs sharded over the 8-device mesh with a global batch."""
+    model, state, _ = trained
+    cfg = TrainConfig(lr=1e-3, no_lr_decay=True)
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+
+    def model_apply(p, t, z, y, rngs=None):
+        return model.apply(p, t, z, y)
+
+    step = make_train_step(model_apply, tx, use_ema=False, scale_factor=1.0)
+    repl = replicated(mesh8)
+    state0 = create_train_state(
+        jax.device_put(state.params, repl), cfg, steps_per_epoch=10
+    )
+    jstep = jax.jit(step)
+    batch = shard_batch(mesh8, {"x": np.ones((16, 8, 8, 4), np.float32)})
+    new_state, m = jstep(state0, batch, jax.device_put(jax.random.PRNGKey(0), repl))
+    assert np.isfinite(float(m.loss))
+    assert int(new_state.step) == 1
+
+    # mesh result must equal single-device result
+    sstep = jax.jit(step)
+    s1, m1 = sstep(
+        create_train_state(state.params, cfg, steps_per_epoch=10),
+        {"x": jnp.ones((16, 8, 8, 4))},
+        jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(float(m.loss), float(m1.loss), rtol=1e-5)
+
+
+def test_noise_and_labels_conditional():
+    config = Config(model=ModelConfig(model_type="DiT-B/2", image_size=256,
+                                      num_classes=1000, label_dropout=0.1))
+    rng = SampleRNG(seed=0)
+    noise, y = noise_and_labels(config, rng, jnp.arange(4))
+    assert noise.shape == (4, 32, 32, 4)
+    assert y is not None and y.shape == (4,)
+    assert int(y.max()) < 1000
+
+
+def test_cfg_sampling_runs(trained):
+    model = DiT(img_resolution=8, patch_size=2, in_channels=4, hidden_size=64,
+                depth=2, num_heads=4, num_classes=10, label_dropout=0.1)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1,)),
+                        jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32))
+    config = Config(
+        model=ModelConfig(model_type="DiT-S/2", image_size=64, num_classes=10),
+        sample=SampleConfig(method="euler", num_steps=8, cfg_scale=1.5),
+    )
+    sampler = make_sampler(config, model, params, jit=True)
+    noise = SampleRNG(0).randn(jnp.arange(4), (8, 8, 4))
+    y = jnp.array([1, 2, 3, 4])
+    out = sampler(noise, y)
+    assert out.images.shape == (4, 8, 8, 4)
+    assert np.isfinite(np.asarray(out.images)).all()
