@@ -48,12 +48,12 @@ def main():
         jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)), jax.random.PRNGKey(2)
     )
 
-    def velocity(t, x):
-        tb = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x.shape[0],))
-        return model.apply(params, tb, x)
-
     @jax.jit
-    def sample(noise):
+    def sample(params, vae_params, noise):
+        def velocity(t, x):
+            tb = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x.shape[0],))
+            return model.apply(params, tb, x)
+
         res = odeint(velocity, noise, 1.0, 0.0, method="euler", num_steps=NFE)
         img = vae.apply(vae_params, res.y / 0.18215, method=AutoencoderKL.decode)
         return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
@@ -61,12 +61,12 @@ def main():
     noise = jax.random.normal(jax.random.PRNGKey(3), (BATCH, 32, 32, 4))
 
     for _ in range(WARMUP):
-        jax.block_until_ready(sample(noise))
+        jax.block_until_ready(sample(params, vae_params, noise))
 
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        jax.block_until_ready(sample(noise))
+        jax.block_until_ready(sample(params, vae_params, noise))
         times.append(time.perf_counter() - t0)
 
     best = min(times)

@@ -81,11 +81,16 @@ def make_sampler(
     jit: bool = True,
 ) -> Callable:
     """Returns sample_fn(noise, y) -> SampleOutput. Decode is skipped when no
-    VAE is provided (latents returned as 'images' for latent-space tests)."""
+    VAE is provided (latents returned as 'images' for latent-space tests).
+
+    Params flow through the jit boundary as ARGUMENTS, never closure
+    constants — closed-over weights would be inlined into the HLO
+    (hundreds of MB for DiT-L/2) and blow up compile time/program size.
+    """
     sc = config.sample
     num_classes = config.model.num_classes
 
-    def fn(noise: jnp.ndarray, y: Optional[jnp.ndarray] = None) -> SampleOutput:
+    def raw(params, vae_params, noise: jnp.ndarray, y) -> SampleOutput:
         velocity = build_velocity(model, params, y, sc.cfg_scale, num_classes)
         z0, nfe = sample_latents(
             velocity, noise,
@@ -99,7 +104,12 @@ def make_sampler(
         img = jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)  # test_flow_latent.py:128,266
         return SampleOutput(images=img, latents=z0, nfe=nfe)
 
-    return jax.jit(fn) if jit else fn
+    jitted = jax.jit(raw) if jit else raw
+
+    def fn(noise: jnp.ndarray, y: Optional[jnp.ndarray] = None) -> SampleOutput:
+        return jitted(params, vae_params, noise, y)
+
+    return fn
 
 
 def noise_and_labels(config: Config, rng: SampleRNG, indices) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
