@@ -56,17 +56,21 @@ def main():
 
         res = odeint(velocity, noise, 1.0, 0.0, method="euler", num_steps=NFE)
         img = vae.apply(vae_params, res.y / 0.18215, method=AutoencoderKL.decode)
-        return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
+        img = jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
+        # scalar checksum: forces full execution with a tiny host transfer
+        # (on the axon tunnel, block_until_ready does NOT wait for execution
+        # and bulk transfers run at ~50 MB/s — a scalar sync measures compute)
+        return jnp.float32(img.sum())
 
     noise = jax.random.normal(jax.random.PRNGKey(3), (BATCH, 32, 32, 4))
 
     for _ in range(WARMUP):
-        jax.block_until_ready(sample(params, vae_params, noise))
+        float(sample(params, vae_params, noise))
 
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        jax.block_until_ready(sample(params, vae_params, noise))
+        float(sample(params, vae_params, noise))
         times.append(time.perf_counter() - t0)
 
     best = min(times)
