@@ -1,0 +1,286 @@
+"""CLI: same flag surface as the reference entry points.
+
+Subcommands:
+  train   — reference train_flow_latent.py (argparse at :220-338)
+  sample  — reference test_flow_latent.py default grid-save mode (:285-299)
+  fid     — --compute_fid mode (:248-283), mesh-sharded
+  nfe     — --compute_nfe mode (:196-221)
+  time    — --measure_time mode (:223-246)
+
+Configs come from --preset (celeb256_dit, ...), --argfile (a reference
+test_args/*.txt), or individual flags that override either.
+
+Example:
+  python -m lfm_tpu.cli.main sample --preset celeb256_dit \\
+      --ckpt saved_info/.../model_475 --method euler --steps 40
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time as _time
+
+import numpy as np
+
+
+def _build_parser():
+    p = argparse.ArgumentParser("lfm_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--preset", type=str, default=None)
+        sp.add_argument("--argfile", type=str, default=None)
+        sp.add_argument("--exp", type=str, default=None)
+        sp.add_argument("--dataset", type=str, default=None)
+        sp.add_argument("--datadir", type=str, default=None)
+        sp.add_argument("--model_type", type=str, default=None)
+        sp.add_argument("--image_size", type=int, default=None)
+        sp.add_argument("--num_classes", type=int, default=None)
+        sp.add_argument("--label_dropout", type=float, default=None)
+        sp.add_argument("--nf", type=int, default=None)
+        sp.add_argument("--ch_mult", nargs="+", type=int, default=None)
+        sp.add_argument("--attn_resolutions", nargs="+", type=int, default=None)
+        sp.add_argument("--num_res_blocks", type=int, default=None)
+        sp.add_argument("--use_origin_adm", action="store_true", default=None)
+        sp.add_argument("--scale_factor", type=float, default=None)
+        sp.add_argument("--batch_size", type=int, default=None)
+        sp.add_argument("--seed", type=int, default=None)
+        sp.add_argument("--vae_ckpt", type=str, default=None,
+                        help="converted/diffusers VAE checkpoint path")
+
+    t = sub.add_parser("train")
+    common(t)
+    t.add_argument("--lr", type=float, default=None)
+    t.add_argument("--num_epoch", type=int, default=None)
+    t.add_argument("--no_lr_decay", action="store_true", default=None)
+    t.add_argument("--use_ema", action="store_true", default=None)
+    t.add_argument("--ema_decay", type=float, default=None)
+    t.add_argument("--use_grad_checkpointing", action="store_true", default=None)
+    t.add_argument("--save_content", action="store_true", default=None)
+    t.add_argument("--save_content_every", type=int, default=None)
+    t.add_argument("--save_ckpt_every", type=int, default=None)
+    t.add_argument("--plot_every", type=int, default=None)
+    t.add_argument("--resume", action="store_true", default=None)
+    t.add_argument("--precision", type=str, default=None, choices=["bf16", "f32"])
+    t.add_argument("--max_steps", type=int, default=None)
+
+    for name in ("sample", "fid", "nfe", "time"):
+        s = sub.add_parser(name)
+        common(s)
+        s.add_argument("--epoch_id", type=int, default=None)
+        s.add_argument("--ckpt", type=str, default=None,
+                       help="model checkpoint (orbax dir or reference .pth)")
+        s.add_argument("--method", type=str, default=None)
+        s.add_argument("--num_steps", "--steps", type=int, default=None, dest="num_steps")
+        s.add_argument("--atol", type=float, default=None)
+        s.add_argument("--rtol", type=float, default=None)
+        s.add_argument("--cfg_scale", type=float, default=None)
+        s.add_argument("--use_karras_samplers", action="store_true", default=None)
+        s.add_argument("--n_sample", type=int, default=None)
+        s.add_argument("--generator", type=str, default=None)
+        s.add_argument("--real_img_dir", type=str, default=None)
+        s.add_argument("--output_log", type=str, default=None)
+        s.add_argument("--inception_ckpt", type=str, default=None)
+        s.add_argument("--save_dir", type=str, default=None)
+    return p
+
+
+def _resolve_config(args):
+    from lfm_tpu.core.config import Config, get_preset, load_argfile
+
+    if args.preset:
+        config = get_preset(args.preset)
+    elif args.argfile:
+        config = load_argfile(args.argfile)
+    else:
+        config = Config()
+
+    def over(dc, **kw):
+        kw = {k: v for k, v in kw.items() if v is not None}
+        return dataclasses.replace(dc, **kw) if kw else dc
+
+    model = over(
+        config.model,
+        model_type=args.model_type, image_size=args.image_size,
+        num_classes=args.num_classes, label_dropout=args.label_dropout,
+        nf=args.nf,
+        ch_mult=tuple(args.ch_mult) if args.ch_mult else None,
+        attn_resolutions=tuple(args.attn_resolutions) if args.attn_resolutions else None,
+        num_res_blocks=args.num_res_blocks,
+        use_origin_adm=args.use_origin_adm,
+    )
+    sample = config.sample
+    if args.cmd != "train":
+        sample = over(
+            sample,
+            method=args.method, num_steps=args.num_steps, atol=args.atol,
+            rtol=args.rtol, cfg_scale=args.cfg_scale,
+            use_karras_samplers=args.use_karras_samplers,
+            n_sample=args.n_sample, batch_size=args.batch_size,
+            epoch_id=args.epoch_id, seed=args.seed,
+            generator=args.generator, real_img_dir=args.real_img_dir,
+            output_log=args.output_log,
+        )
+    train_cfg = config.train
+    if args.cmd == "train":
+        train_cfg = over(
+            train_cfg,
+            lr=args.lr, num_epoch=args.num_epoch, no_lr_decay=args.no_lr_decay,
+            use_ema=args.use_ema, ema_decay=args.ema_decay,
+            use_grad_checkpointing=args.use_grad_checkpointing,
+            save_content=args.save_content,
+            save_content_every=args.save_content_every,
+            save_ckpt_every=args.save_ckpt_every, plot_every=args.plot_every,
+            resume=args.resume, precision=args.precision,
+            batch_size=args.batch_size, seed=args.seed,
+        )
+    data = over(config.data, dataset=args.dataset, datadir=args.datadir)
+    config = dataclasses.replace(
+        config, model=model, sample=sample, train=train_cfg, data=data,
+    )
+    config = over(config, exp=args.exp, dataset=args.dataset,
+                  scale_factor=args.scale_factor)
+    return config
+
+
+def _load_model_and_params(config, args):
+    import jax
+    import jax.numpy as jnp
+
+    from lfm_tpu.core import checkpoint as ckpt
+    from lfm_tpu.nn.factory import create_network
+
+    model = create_network(config.model, dtype=jnp.bfloat16)
+    s = config.model.latent_size
+    y0 = (jnp.zeros((1,), jnp.int32)
+          if (config.model.num_classes or 0) > 0 and config.model.is_dit
+          else None)
+    if not config.model.is_dit and (config.model.num_classes or 0) > 1:
+        y0 = jnp.zeros((1,), jnp.int32)
+    key = jax.random.PRNGKey(0)
+    template = model.init({"params": key, "label_dropout": key},
+                          jnp.zeros((1,)),
+                          jnp.zeros((1, s, s, config.model.num_in_channels)), y0)
+    path = args.ckpt
+    if path is None:
+        path = os.path.join(config.exp_path, f"model_{config.sample.epoch_id}")
+    if path.endswith(".pth"):
+        params = ckpt.load_reference_checkpoint(path, config, model)
+    elif os.path.isdir(path):
+        from lfm_tpu.core.checkpoint import _ocp
+
+        with _ocp().PyTreeCheckpointer() as c:
+            params = c.restore(os.path.abspath(path),
+                               item=jax.tree_util.tree_map(np.asarray, template))
+    else:
+        print(f"[warn] checkpoint {path} not found; using random init", file=sys.stderr)
+        params = template
+    return model, params
+
+
+def _load_vae(args):
+    import jax
+    import jax.numpy as jnp
+
+    from lfm_tpu.vae.autoencoder_kl import AutoencoderKL
+
+    vae = AutoencoderKL(dtype=jnp.bfloat16)
+    if args.vae_ckpt and os.path.exists(args.vae_ckpt):
+        from lfm_tpu.vae.convert import load_vae_params
+
+        return vae, load_vae_params(args.vae_ckpt)
+    print("[warn] no --vae_ckpt; using random VAE weights", file=sys.stderr)
+    params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                      jax.random.PRNGKey(1))
+    return vae, params
+
+
+def main(argv=None):
+    args = _build_parser().parse_args(argv)
+    config = _resolve_config(args)
+
+    if args.cmd == "train":
+        from lfm_tpu.train.loop import train
+
+        vae, vae_params = (None, None)
+        if "latent" not in config.dataset and "synthetic" not in config.dataset:
+            vae, vae_params = _load_vae(args)
+        train(config, vae=vae, vae_params=vae_params, max_steps=args.max_steps)
+        return
+
+    import jax
+    import jax.numpy as jnp
+
+    from lfm_tpu.core.rng import SampleRNG
+    from lfm_tpu.sample.sample import make_sampler, noise_and_labels
+    from lfm_tpu.train.loop import save_image_grid
+
+    model, params = _load_model_and_params(config, args)
+    vae, vae_params = _load_vae(args)
+    rng = SampleRNG(seed=config.sample.seed, num_samples=config.sample.n_sample)
+
+    if args.cmd == "sample":
+        sampler = make_sampler(config, model, params, vae, vae_params)
+        idx = jnp.arange(config.sample.batch_size)
+        noise, y = noise_and_labels(config, rng, idx)
+        out = sampler(noise, y)
+        sc = config.sample
+        if not sc.use_karras_samplers:
+            path = f"./samples_{config.dataset}_{sc.method}_{sc.atol}_{sc.rtol}"
+        else:
+            path = f"./samples_{config.dataset}_{sc.method}_{sc.num_steps}"
+        if (config.model.num_classes or 0) > 1:
+            path += f"_cfg{sc.cfg_scale}"
+        path += ".jpg"
+        save_image_grid(np.asarray(out.images), path)
+        print(f"Samples are saved at {path} (NFE {float(out.nfe):.0f})")
+
+    elif args.cmd == "fid":
+        from lfm_tpu.eval.inception import FIDInceptionV3, load_inception_params
+        from lfm_tpu.sample.sharded import compute_fid
+
+        if args.inception_ckpt:
+            inc_params = load_inception_params(args.inception_ckpt)
+        else:
+            print("[warn] no --inception_ckpt; random inception (smoke only)",
+                  file=sys.stderr)
+            inc_params = FIDInceptionV3().init(jax.random.PRNGKey(0),
+                                               jnp.zeros((1, 32, 32, 3)))
+        stats = config.sample.real_img_dir or args.real_img_dir
+        fid = compute_fid(config, model, params, vae, vae_params, inc_params,
+                          stats_path=stats, save_dir=args.save_dir)
+        print(f"FID = {fid}")
+        if config.sample.output_log:
+            with open(config.sample.output_log, "a") as f:
+                f.write(f"Epoch = {config.sample.epoch_id}, FID = {fid}\n")
+
+    elif args.cmd == "nfe":
+        # average NFE over trials, batch 1 (test_flow_latent.py:196-221)
+        sampler = make_sampler(config, model, params, vae, vae_params)
+        trials = 300 if args.n_sample is None else args.n_sample
+        total = 0.0
+        for i in range(trials):
+            noise, y = noise_and_labels(config, rng, jnp.asarray([i]))
+            total += float(sampler(noise, y).nfe)
+        print(f"Average NFE over {trials} trials: {int(total / trials)}")
+
+    elif args.cmd == "time":
+        # batch-1 latency, 300 reps (test_flow_latent.py:223-246)
+        sampler = make_sampler(config, model, params, vae, vae_params)
+        noise, y = noise_and_labels(config, rng, jnp.asarray([0]))
+        np.asarray(sampler(noise, y).images)  # warmup/compile
+        reps = 300 if args.n_sample is None else args.n_sample
+        times = []
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            np.asarray(sampler(noise, y).images)  # host sync via transfer
+            times.append((_time.perf_counter() - t0) * 1e3)
+        print(f"Inference time: {np.mean(times):.2f}+/-{np.std(times):.2f}ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""CLI + training-loop integration tests (tiny, synthetic, CPU mesh)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from lfm_tpu.core.config import Config, DataConfig, ModelConfig, SampleConfig, TrainConfig
+
+
+def test_train_loop_end_to_end(tmp_path, mesh8):
+    """Full loop: synthetic latent data -> train 1 epoch -> checkpoints."""
+    from lfm_tpu.train.loop import train
+
+    config = Config(
+        exp="smoke",
+        dataset="synthetic_latent",
+        output_dir=str(tmp_path),
+        model=ModelConfig(model_type="DiT-S/2", image_size=64, num_classes=1),
+        train=TrainConfig(batch_size=16, num_epoch=0, lr=1e-3, no_lr_decay=True,
+                          use_ema=True, save_content=True, save_content_every=1,
+                          save_ckpt_every=1, plot_every=100, precision="f32"),
+    )
+
+    class TinyLatents:
+        num_classes = 1
+
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            return rng.normal(size=(8, 8, 4)).astype(np.float32), 0
+
+    state = train(config, dataset=TinyLatents(), mesh=mesh8, log_fn=lambda *a: None)
+    assert int(state.step) == 2  # 32/16 per epoch, 1 epoch (num_epoch=0 -> range(0,1))
+    exp = config.exp_path
+    assert os.path.isdir(os.path.join(exp, "content"))
+    assert os.path.isdir(os.path.join(exp, "model_0"))
+    assert os.path.exists(os.path.join(exp, "config.json"))
+
+    # resume continues from the saved epoch
+    import dataclasses
+
+    config2 = dataclasses.replace(
+        config, train=dataclasses.replace(config.train, num_epoch=1, resume=True)
+    )
+    state2 = train(config2, dataset=TinyLatents(), mesh=mesh8, log_fn=lambda *a: None)
+    assert int(state2.step) == 4  # resumed at epoch 1, one more epoch
+
+
+def test_cli_sample_smoke(tmp_path, monkeypatch):
+    """CLI sample with random weights writes a grid."""
+    monkeypatch.chdir(tmp_path)
+    from lfm_tpu.cli.main import main
+
+    main([
+        "sample", "--dataset", "synthetic", "--model_type", "DiT-S/8",
+        "--image_size", "64", "--num_classes", "1",
+        "--method", "euler", "--steps", "2", "--batch_size", "4",
+    ])
+    outs = [f for f in os.listdir(".") if f.startswith("samples_")]
+    assert outs, "no sample grid written"
+
+
+def test_cli_config_resolution():
+    from lfm_tpu.cli.main import _build_parser, _resolve_config
+
+    args = _build_parser().parse_args([
+        "sample", "--preset", "celeb256_dit", "--method", "euler",
+        "--steps", "10", "--batch_size", "8",
+    ])
+    config = _resolve_config(args)
+    assert config.model.model_type == "DiT-L/2"
+    assert config.sample.method == "euler"
+    assert config.sample.num_steps == 10
+    assert config.sample.batch_size == 8
+    assert config.sample.epoch_id == 475  # preserved from preset
