@@ -1,0 +1,117 @@
+"""Pallas TPU flash attention (non-causal, full self-attention).
+
+The per-NFE inner kernel of every velocity network (SURVEY.md §3.5): DiT
+blocks attend over 256-4096 latent tokens (models/DiT.py:120 via timm), ADM
+attention over <=1024 positions. This kernel fuses QK^T, the online softmax,
+and PV into one VMEM-resident pass — no (T, T) attention matrix ever hits
+HBM — with fp32 accumulation matching the reference's fp32-softmax islands
+(models/EDM.py:160-179).
+
+Layout: q, k, v are (N, T, H, D); the kernel runs on (N*H, T, D) with a grid
+over (batch*heads, q-blocks) and an online-softmax loop over k-blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int, scale: float):
+    """One (q-block, all k) pass with online softmax.
+
+    q_ref: (1, BQ, D); k_ref/v_ref: (1, T, D); o_ref: (1, BQ, D).
+    """
+    q = q_ref[0].astype(jnp.float32) * scale  # (BQ, D)
+    t = k_ref.shape[1]
+    bq, d = q.shape
+    num_kb = t // bk
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(i * bk, bk), :].astype(jnp.float32)  # (BK, D)
+        v = v_ref[0, pl.ds(i * bk, bk), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BQ, BK)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def _pick_block(t: int, target: int) -> int:
+    """Largest divisor of t that is <= target (t is a power-of-two token
+    count for all square latent grids)."""
+    b = min(t, target)
+    while t % b:
+        b -= 1
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_q: int = 256,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    """q, k, v: (N, T, H, D) -> (N, T, H, D). Softmax scale 1/sqrt(D)."""
+    n, t, h, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    bq = _pick_block(t, block_q)
+    bk = _pick_block(t, block_k)
+
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(n * h, t, d)
+
+    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
+
+    grid = (n * h, t // bq)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, bk=bk, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n * h, t, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * h * t * t * d,
+            bytes_accessed=(3 * n * h * t * d + n * h * t * d) * q.dtype.itemsize,
+            transcendentals=n * h * t * t,
+        ),
+    )(qb, kb, vb)
+
+    return out.reshape(n, h, t, d).transpose(0, 2, 1, 3)
+
+
+def reference_attention(q, k, v):
+    """Plain-XLA einsum attention (for parity tests and fallback)."""
+    d = q.shape[-1]
+    s = jnp.einsum("nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s / math.sqrt(d), axis=-1).astype(q.dtype)
+    return jnp.einsum("nhqk,nkhd->nqhd", p, v)

@@ -1,0 +1,90 @@
+"""Pallas kernel tests (interpret mode on CPU; real TPU runs are exercised
+by bench/verify scripts)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lfm_tpu.kernels.flash_attention import (
+    _flash_kernel,
+    _pick_block,
+    reference_attention,
+)
+
+
+def _flash_interpret(q, k, v, bq=64, bk=64):
+    """Run the flash kernel in pallas interpret mode (CPU-safe)."""
+    import math
+
+    n, t, h, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(n * h, t, d)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, bk=bk, scale=scale),
+        grid=(n * h, t // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n * h, t, d), q.dtype),
+        interpret=True,
+    )(to_bh(q), to_bh(k), to_bh(v))
+    return out.reshape(n, h, t, d).transpose(0, 2, 1, 3)
+
+
+@pytest.mark.parametrize("t,bq,bk", [(128, 64, 64), (256, 128, 256), (64, 64, 32)])
+def test_flash_matches_reference(t, bq, bk):
+    rng = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(rng, 3)
+    n, h, d = 2, 4, 64
+    q = jax.random.normal(kq, (n, t, h, d))
+    k = jax.random.normal(kk, (n, t, h, d))
+    v = jax.random.normal(kv, (n, t, h, d))
+    want = reference_attention(q, k, v)
+    got = _flash_interpret(q, k, v, bq=bq, bk=bk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_bf16_io():
+    rng = jax.random.PRNGKey(1)
+    kq, kk, kv = jax.random.split(rng, 3)
+    q = jax.random.normal(kq, (1, 128, 2, 64), jnp.bfloat16)
+    k = jax.random.normal(kk, (1, 128, 2, 64), jnp.bfloat16)
+    v = jax.random.normal(kv, (1, 128, 2, 64), jnp.bfloat16)
+    want = reference_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                               v.astype(jnp.float32))
+    got = _flash_interpret(q, k, v)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_pick_block():
+    assert _pick_block(256, 512) == 256
+    assert _pick_block(1024, 512) == 512
+    assert _pick_block(100, 64) == 50
+
+
+def test_dit_attention_flash_flag():
+    """DiT with use_flash must agree with the einsum path (interpret mode)."""
+    from lfm_tpu.nn.layers import Attention
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 128))
+    a_plain = Attention(128, 4, use_flash=False)
+    params = a_plain.init(jax.random.PRNGKey(1), x)
+    want = a_plain.apply(params, x)
+
+    a_flash = Attention(128, 4, use_flash=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = a_flash.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
