@@ -254,6 +254,13 @@ class UNetModel(nn.Module):
     use_scale_shift_norm: bool = True
     resblock_updown: bool = False
     use_new_attention_order: bool = False
+    # SpatialTransformer cross-attention variant (reference UNetModelAttn,
+    # unet.py:882-1205; wired with transformer_depth=3, context_dim=512 for
+    # --layout, models/__init__.py:21-46)
+    use_spatial_transformer: bool = False
+    transformer_depth: int = 1
+    context_dim: Optional[int] = None
+    legacy: bool = True
     dtype: Dtype = jnp.float32
     use_flash: bool = False
 
@@ -274,6 +281,21 @@ class UNetModel(nn.Module):
             return ADMResBlock(spec.out_ch, self.dropout, self.use_scale_shift_norm,
                                dtype=self.dtype, name=name)
         if spec.kind == "attn":
+            if self.use_spatial_transformer:
+                ch = spec.out_ch
+                # dim_head resolution (reference unet.py:1008-1017)
+                if self.num_head_channels == -1:
+                    n_heads, dim_head = heads, ch // heads
+                else:
+                    n_heads, dim_head = ch // self.num_head_channels, self.num_head_channels
+                if self.legacy:
+                    dim_head = ch // n_heads
+                from lfm_tpu.nn.attention import SpatialTransformer
+
+                return SpatialTransformer(
+                    n_heads, dim_head, depth=self.transformer_depth,
+                    dtype=self.dtype, name=name,
+                )
             return ADMAttentionBlock(
                 heads, self.num_head_channels,
                 legacy_order=not self.use_new_attention_order,
@@ -292,7 +314,7 @@ class UNetModel(nn.Module):
         raise ValueError(spec.kind)
 
     @nn.compact
-    def __call__(self, t, x, y=None, train: bool = False):
+    def __call__(self, t, x, y=None, context=None, train: bool = False):
         n = x.shape[0]
         t = jnp.broadcast_to(jnp.asarray(t, jnp.float32).reshape(-1), (n,))
         plan = self.plan
@@ -313,18 +335,18 @@ class UNetModel(nn.Module):
         for i, block in enumerate(plan.input_blocks):
             for j, spec in enumerate(block):
                 layer = self._layer(spec, f"input_{i}_{j}")
-                h = self._apply_layer(layer, spec, h, emb, train)
+                h = self._apply_layer(layer, spec, h, emb, train, context)
             hs.append(h)
 
         for j, spec in enumerate(plan.middle_block):
             layer = self._layer(spec, f"middle_{j}")
-            h = self._apply_layer(layer, spec, h, emb, train)
+            h = self._apply_layer(layer, spec, h, emb, train, context)
 
         for i, block in enumerate(plan.output_blocks):
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             for j, spec in enumerate(block):
                 layer = self._layer(spec, f"output_{i}_{j}", upsample_heads=True)
-                h = self._apply_layer(layer, spec, h, emb, train)
+                h = self._apply_layer(layer, spec, h, emb, train, context)
 
         h = GroupNorm32(name="out_norm")(h)
         h = nn.silu(h)
@@ -332,16 +354,43 @@ class UNetModel(nn.Module):
                     kernel_init=_zeros, bias_init=_zeros, name="out_conv")(h)
         return h.astype(jnp.float32)
 
-    @staticmethod
-    def _apply_layer(layer, spec: LayerSpec, h, emb, train):
+    def _apply_layer(self, layer, spec: LayerSpec, h, emb, train, context=None):
         if spec.kind in ("res", "res_down", "res_up"):
             return layer(h, emb, train)
+        if spec.kind == "attn" and self.use_spatial_transformer:
+            return layer(h, context)
         return layer(h)
 
 
 def create_adm_unet(cfg: ModelConfig, *, dtype=jnp.float32, use_flash: bool = False,
                     remat: bool = False) -> UNetModel:
-    """Factory for --use_origin_adm (reference models/__init__.py:47-68)."""
+    """Factory for --use_origin_adm (reference models/__init__.py:47-68);
+    with cfg.layout this is the UNetModelAttn wiring (models/__init__.py:21-46:
+    transformer_depth=3, context_dim=512)."""
+    if cfg.layout:
+        return UNetModel(
+            image_size=cfg.latent_size,
+            in_channels=cfg.num_in_channels,
+            model_channels=cfg.nf,
+            out_channels=cfg.num_out_channels,
+            num_res_blocks=cfg.num_res_blocks,
+            attention_resolutions=tuple(cfg.attn_resolutions),
+            dropout=cfg.dropout,
+            channel_mult=tuple(cfg.ch_mult),
+            conv_resample=cfg.resamp_with_conv,
+            num_classes=cfg.num_classes if (cfg.num_classes or 0) > 1 else None,
+            num_heads=cfg.num_heads,
+            num_head_channels=cfg.num_head_channels,
+            num_heads_upsample=cfg.num_head_upsample,
+            use_scale_shift_norm=cfg.use_scale_shift_norm,
+            resblock_updown=cfg.resblock_updown,
+            use_new_attention_order=cfg.use_new_attention_order,
+            use_spatial_transformer=True,
+            transformer_depth=cfg.transformer_depth or 3,
+            context_dim=cfg.context_dim or 512,
+            dtype=dtype,
+            use_flash=use_flash,
+        )
     return UNetModel(
         image_size=cfg.latent_size,
         in_channels=cfg.num_in_channels,

@@ -227,6 +227,116 @@ class EDMUNetBlock(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# Context conditioning (EDM.py:295-483): UNetBlockWithContext replaces
+# self-attention with a GroupNorm'd transformer block (self-attn, cross-attn
+# over a context sequence, silu feed-forward), used by model_type
+# "adm_context" (EDM.py:923-938).
+# ---------------------------------------------------------------------------
+
+class EDMCrossAttention(nn.Module):
+    """(EDM.py:369-424). q from x tokens; k/v from context tokens; head-major
+    channel grouping, fp32 softmax with 1/sqrt(hd) on k."""
+
+    query_channels: int
+    num_heads: Optional[int] = None
+    channels_per_head: int = 64
+    zero_proj: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_tokens: jnp.ndarray, context: Optional[jnp.ndarray] = None):
+        c = self.query_channels
+        heads = self.num_heads if self.num_heads is not None else c // self.channels_per_head
+        hd = c // heads
+        ctx = x_tokens if context is None else context
+        q = nn.Dense(c, dtype=jnp.float32, name="q")(x_tokens.astype(jnp.float32))
+        k = nn.Dense(c, dtype=jnp.float32, name="k")(ctx.astype(jnp.float32))
+        v = nn.Dense(c, dtype=jnp.float32, name="v")(ctx.astype(jnp.float32))
+        n, tq, _ = q.shape
+        tk = k.shape[1]
+        q = q.reshape(n, tq, heads, hd)
+        k = k.reshape(n, tk, heads, hd)
+        v = v.reshape(n, tk, heads, hd)
+        w = jnp.einsum("nqhd,nkhd->nhqk", q, k / math.sqrt(hd),
+                       preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(w, axis=-1)
+        a = jnp.einsum("nhqk,nkhd->nqhd", w, v).reshape(n, tq, c)
+        init = _zeros if self.zero_proj else nn.initializers.lecun_normal()
+        return nn.Dense(c, dtype=jnp.float32, kernel_init=init, bias_init=_zeros,
+                        name="proj")(a).astype(x_tokens.dtype)
+
+
+class EDMTransformerBlock(nn.Module):
+    """(EDM.py:444-483): GroupNorm -> self-attn -> cross-attn -> silu-MLP,
+    all residual, on an NHWC feature map with context (N, L, Cc)."""
+
+    channels: int
+    num_heads: Optional[int] = None
+    channels_per_head: int = 64
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None):
+        n, h, w, c = x.shape
+        if context is not None and context.ndim == 2:
+            context = context[:, None, :]  # (N, 1, Cc)
+
+        def tok(z):
+            return z.reshape(n, h * w, c)
+
+        y = EDMGroupNorm(c, self.eps, name="norm1")(x)
+        x = x + EDMCrossAttention(c, self.num_heads, self.channels_per_head,
+                                  dtype=self.dtype, name="attn1")(tok(y)).reshape(n, h, w, c)
+        y = EDMGroupNorm(c, self.eps, name="norm2")(x)
+        x = x + EDMCrossAttention(c, self.num_heads, self.channels_per_head,
+                                  dtype=self.dtype, name="attn2")(tok(y), context).reshape(n, h, w, c)
+        y = EDMGroupNorm(c, self.eps, name="norm3")(x)
+        y = tok(y)
+        y = nn.silu(nn.Dense(4 * c, dtype=self.dtype, name="ff_layer0")(y))
+        y = nn.Dense(c, dtype=self.dtype, name="ff_layer1")(y)
+        return x + y.reshape(n, h, w, c)
+
+
+class EDMUNetBlockWithContext(nn.Module):
+    """UNetBlock with attention replaced by a context TransformerBlock
+    (EDM.py:295-367)."""
+
+    out_ch: int
+    emb_ch: int
+    up: bool = False
+    down: bool = False
+    attention: bool = False
+    num_heads: Optional[int] = None
+    channels_per_head: int = 64
+    dropout: float = 0.0
+    skip_scale: float = 1.0
+    eps: float = 1e-5
+    resample_filter: Tuple[float, ...] = (1.0, 1.0)
+    resample_proj: bool = False
+    adaptive_scale: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, context=None, train: bool = False):
+        base = EDMUNetBlock(
+            self.out_ch, self.emb_ch, up=self.up, down=self.down,
+            attention=False, dropout=self.dropout, skip_scale=self.skip_scale,
+            eps=self.eps, resample_filter=self.resample_filter,
+            resample_proj=self.resample_proj, adaptive_scale=self.adaptive_scale,
+            dtype=self.dtype, name="base",
+        )
+        x = base(x, emb, train)
+        if self.attention:
+            x = EDMTransformerBlock(
+                self.out_ch, self.num_heads, self.channels_per_head,
+                eps=self.eps, dtype=self.dtype, name="transformer",
+            )(x, context)
+            x = x * self.skip_scale
+        return x
+
+
+# ---------------------------------------------------------------------------
 # Timestep embeddings (EDM.py:490-522)
 # ---------------------------------------------------------------------------
 
@@ -400,6 +510,7 @@ class DhariwalUNet(nn.Module):
     attn_resolutions: Tuple[int, ...] = (32, 16, 8)
     dropout: float = 0.10
     label_dropout: float = 0.0
+    use_context: bool = False  # adm_context: label -> cross-attn context
     dtype: Dtype = jnp.float32
 
     def _block_kwargs(self) -> Dict:
@@ -407,6 +518,10 @@ class DhariwalUNet(nn.Module):
             emb_ch=self.model_channels * self.channel_mult_emb,
             channels_per_head=64, dropout=self.dropout, dtype=self.dtype,
         )
+
+    @property
+    def _block_cls(self):
+        return EDMUNetBlockWithContext if self.use_context else EDMUNetBlock
 
     @nn.compact
     def __call__(self, t, x, y=None, augment_labels=None, train: bool = False,
@@ -424,7 +539,8 @@ class DhariwalUNet(nn.Module):
         emb = nn.silu(nn.Dense(emb_ch, dtype=self.dtype, name="map_layer0")(emb))
         emb = nn.Dense(emb_ch, dtype=self.dtype, name="map_layer1")(emb)
 
-        if self.label_dim and y is not None:
+        context = None
+        if self.label_dim and y is not None and not self.use_context:
             onehot = jax.nn.one_hot(y, self.label_dim, dtype=jnp.float32)
             if train and self.label_dropout > 0:
                 rng = self.make_rng("label_dropout")
@@ -435,6 +551,13 @@ class DhariwalUNet(nn.Module):
                 onehot = onehot * half_mask
             emb = emb + nn.Dense(emb_ch, use_bias=False, dtype=self.dtype,
                                  name="map_label")(onehot)
+        elif self.use_context and self.label_dim:
+            # context path: LabelEmbedder like the reference's DiT import
+            # (EDM.py:754-756,828-829)
+            from lfm_tpu.nn.layers import LabelEmbedder
+
+            context = LabelEmbedder(self.label_dim, emb_ch, self.label_dropout,
+                                    dtype=self.dtype, name="map_label")(y, train)
         emb = nn.silu(emb)
 
         # Encoder
@@ -447,35 +570,48 @@ class DhariwalUNet(nn.Module):
                             name=f"enc_{res}x{res}_conv")(h)
                 skips.append(h)
             else:
-                h = EDMUNetBlock(h.shape[-1], down=True, **bk,
-                                 name=f"enc_{res}x{res}_down")(h, emb, train)
+                h = self._call_block(f"enc_{res}x{res}_down", h.shape[-1], bk,
+                                     h, emb, context, train, down=True)
                 skips.append(h)
             for idx in range(self.num_blocks):
-                h = EDMUNetBlock(self.model_channels * mult,
-                                 attention=res in self.attn_resolutions, **bk,
-                                 name=f"enc_{res}x{res}_block{idx}")(h, emb, train)
+                h = self._call_block(f"enc_{res}x{res}_block{idx}",
+                                     self.model_channels * mult, bk, h, emb,
+                                     context, train,
+                                     attention=res in self.attn_resolutions)
                 skips.append(h)
 
         # Decoder
         for level, mult in reversed(list(enumerate(self.channel_mult))):
             res = self.img_resolution >> level
             if level == len(self.channel_mult) - 1:
-                h = EDMUNetBlock(h.shape[-1], attention=True, **bk,
-                                 name=f"dec_{res}x{res}_in0")(h, emb, train)
-                h = EDMUNetBlock(h.shape[-1], **bk, name=f"dec_{res}x{res}_in1")(h, emb, train)
+                h = self._call_block(f"dec_{res}x{res}_in0", h.shape[-1], bk,
+                                     h, emb, context, train, attention=True)
+                h = self._call_block(f"dec_{res}x{res}_in1", h.shape[-1], bk,
+                                     h, emb, context, train)
             else:
-                h = EDMUNetBlock(h.shape[-1], up=True, **bk,
-                                 name=f"dec_{res}x{res}_up")(h, emb, train)
+                h = self._call_block(f"dec_{res}x{res}_up", h.shape[-1], bk,
+                                     h, emb, context, train, up=True)
             for idx in range(self.num_blocks + 1):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
-                h = EDMUNetBlock(self.model_channels * mult,
-                                 attention=res in self.attn_resolutions, **bk,
-                                 name=f"dec_{res}x{res}_block{idx}")(h, emb, train)
+                h = self._call_block(f"dec_{res}x{res}_block{idx}",
+                                     self.model_channels * mult, bk, h, emb,
+                                     context, train,
+                                     attention=res in self.attn_resolutions)
 
         h = EDMGroupNorm(h.shape[-1], name="out_norm")(h)
         h = EDMConv(self.out_channels, 3, init_weight_scale=0.0, dtype=self.dtype,
                     name="out_conv")(nn.silu(h))
         return h.astype(jnp.float32)
+
+    def _call_block(self, name, out_ch, bk, h, emb, context, train,
+                    attention=False, up=False, down=False):
+        if self.use_context:
+            blk = EDMUNetBlockWithContext(out_ch, attention=attention, up=up,
+                                          down=down, **bk, name=name)
+            return blk(h, emb, context, train)
+        blk = EDMUNetBlock(out_ch, attention=attention, up=up, down=down,
+                           **bk, name=name)
+        return blk(h, emb, train)
 
     def forward_with_cfg(self, params, t, x, y, cfg_scale: float = 1.0) -> jnp.ndarray:
         """Drop-half-label CFG on a pre-doubled batch (EDM.py:847-861)."""
@@ -520,8 +656,5 @@ def create_edm_network(cfg: ModelConfig, *, dtype=jnp.float32, use_flash: bool =
     if cfg.model_type == "adm":
         return DhariwalUNet(**common)
     if cfg.model_type == "adm_context":
-        raise NotImplementedError(
-            "adm_context (UNetBlockWithContext) lands with the encoder/"
-            "SpatialTransformer port"
-        )
+        return DhariwalUNet(use_context=True, **common)
     raise ValueError(f"unknown EDM model_type {cfg.model_type!r}")
