@@ -175,10 +175,12 @@ class InceptionE(nn.Module):
 
 
 class FIDInceptionV3(nn.Module):
-    """pool3-feature extractor. Input (N, H, W, 3) in [0, 1]."""
+    """pool3-feature extractor. Input (N, H, W, 3) in [0, 1].
+    ``include_head`` adds the 1008-way fc logits (for Inception Score)."""
 
     resize_input: bool = True
     normalize_input: bool = True
+    include_head: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -209,6 +211,8 @@ class FIDInceptionV3(nn.Module):
         x = InceptionE("avg", dtype=self.dtype, name="Mixed_7b")(x)
         x = InceptionE("max", dtype=self.dtype, name="Mixed_7c")(x)
         x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool -> (N, 2048)
+        if self.include_head:
+            x = nn.Dense(1008, dtype=self.dtype, name="fc")(x)
         return x.astype(jnp.float32)
 
 
@@ -222,7 +226,8 @@ def _np(t) -> np.ndarray:
 
 def convert_inception_state_dict(sd: Mapping) -> Dict:
     """Map pytorch-fid tensor names (``Mixed_5b.branch1x1.conv.weight`` ...)
-    onto FIDInceptionV3; the unused ``fc`` head and ``AuxLogits`` are dropped."""
+    onto FIDInceptionV3; ``AuxLogits`` is dropped, the fc head is kept for
+    Inception Score (use include_head=True to consume it)."""
     params: Dict = {}
 
     def set_path(path, value):
@@ -232,7 +237,13 @@ def convert_inception_state_dict(sd: Mapping) -> Dict:
         node[path[-1]] = value
 
     for key, tensor in sd.items():
-        if key.startswith(("fc.", "AuxLogits.")) or key.endswith("num_batches_tracked"):
+        if key.startswith("AuxLogits.") or key.endswith("num_batches_tracked"):
+            continue
+        if key == "fc.weight":
+            set_path(("fc", "kernel"), _np(tensor).T)
+            continue
+        if key == "fc.bias":
+            set_path(("fc", "bias"), _np(tensor))
             continue
         parts = key.split(".")
         *module_path, unit, leaf = parts  # ... , conv|bn, weight|bias|running_*

@@ -56,7 +56,7 @@ def test_inception_forward_shape():
 def test_inception_converter_structure():
     """Build a synthetic state dict with the pytorch-fid names and shapes and
     verify the converted tree matches model.init exactly."""
-    model = FIDInceptionV3()
+    model = FIDInceptionV3(include_head=True)
     x = jnp.zeros((1, 299, 299, 3))
     init = model.init(jax.random.PRNGKey(0), x)
 
@@ -69,6 +69,9 @@ def test_inception_converter_structure():
                 if k == "conv":
                     w = np.asarray(v["kernel"]).transpose(3, 2, 0, 1)
                     sd[f"{prefix}.conv.weight"] = w
+                elif k == "fc":
+                    sd["fc.weight"] = np.asarray(v["kernel"]).T
+                    sd["fc.bias"] = np.asarray(v["bias"])
                 else:
                     walk(v, f"{prefix}.{k}" if prefix else k)
             else:
@@ -79,9 +82,6 @@ def test_inception_converter_structure():
                 sd[f"{prefix}.{name}"] = np.asarray(v)
 
     walk(init["params"], "")
-    sd["fc.weight"] = np.zeros((1008, 2048), np.float32)  # dropped head
-    sd["fc.bias"] = np.zeros((1008,), np.float32)
-
     conv = convert_inception_state_dict(sd)
 
     flat_init = jax.tree_util.tree_leaves_with_path(init)
@@ -90,8 +90,8 @@ def test_inception_converter_structure():
     paths_c = {jax.tree_util.keystr(p): np.shape(l) for p, l in flat_conv}
     assert paths_i == paths_c
 
-    out = FIDInceptionV3().apply(conv, jnp.zeros((1, 32, 32, 3)))
-    assert out.shape == (1, 2048)
+    out = FIDInceptionV3(include_head=True).apply(conv, jnp.zeros((1, 32, 32, 3)))
+    assert out.shape == (1, 1008)
 
 
 def test_inception_batchnorm_semantics():
