@@ -68,6 +68,34 @@ def _build_parser():
     t.add_argument("--precision", type=str, default=None, choices=["bf16", "f32"])
     t.add_argument("--max_steps", type=int, default=None)
 
+    ti = sub.add_parser("train-inpainting")
+    common(ti)
+    ti.add_argument("--lr", type=float, default=None)
+    ti.add_argument("--num_epoch", type=int, default=None)
+    ti.add_argument("--use_ema", action="store_true", default=None)
+    ti.add_argument("--save_content", action="store_true", default=None)
+    ti.add_argument("--max_steps", type=int, default=None)
+
+    ts = sub.add_parser("train-semantic")
+    common(ts)
+    ts.add_argument("--seg_dataset", type=str, default="celebamask",
+                    choices=["coco", "ade20k", "celebamask"])
+    ts.add_argument("--lr", type=float, default=None)
+    ts.add_argument("--num_epoch", type=int, default=None)
+    ts.add_argument("--use_ema", action="store_true", default=None)
+    ts.add_argument("--save_content", action="store_true", default=None)
+    ts.add_argument("--max_steps", type=int, default=None)
+
+    tie = sub.add_parser("test-inpainting")
+    common(tie)
+    tie.add_argument("--ckpt", type=str, default=None)
+    tie.add_argument("--method", type=str, default=None)
+    tie.add_argument("--num_steps", "--steps", type=int, default=None, dest="num_steps")
+    tie.add_argument("--indir", type=str, required=False, default=None)
+    tie.add_argument("--maskdir", type=str, required=False, default=None)
+    tie.add_argument("--save_dir", type=str, default="./inpainting_generated_samples")
+    tie.add_argument("--epoch_id", type=int, default=None)
+
     for name in ("sample", "fid", "nfe", "time"):
         s = sub.add_parser(name)
         common(s)
@@ -92,6 +120,16 @@ def _build_parser():
 def _resolve_config(args):
     from lfm_tpu.core.config import Config, get_preset, load_argfile
 
+    class _Args:
+        """attribute access with None default (subcommands differ in flags)."""
+
+        def __init__(self, ns):
+            self._ns = ns
+
+        def __getattr__(self, name):
+            return getattr(self._ns, name, None)
+
+    args = _Args(args)
     if args.preset:
         config = get_preset(args.preset)
     elif args.argfile:
@@ -114,7 +152,7 @@ def _resolve_config(args):
         use_origin_adm=args.use_origin_adm,
     )
     sample = config.sample
-    if args.cmd != "train":
+    if args.cmd not in ("train", "train-inpainting", "train-semantic"):
         sample = over(
             sample,
             method=args.method, num_steps=args.num_steps, atol=args.atol,
@@ -126,7 +164,7 @@ def _resolve_config(args):
             output_log=args.output_log,
         )
     train_cfg = config.train
-    if args.cmd == "train":
+    if args.cmd in ("train", "train-inpainting", "train-semantic"):
         train_cfg = over(
             train_cfg,
             lr=args.lr, num_epoch=args.num_epoch, no_lr_decay=args.no_lr_decay,
@@ -154,7 +192,8 @@ def _load_model_and_params(config, args):
     from lfm_tpu.core import checkpoint as ckpt
     from lfm_tpu.nn.factory import create_network
 
-    model = create_network(config.model, dtype=jnp.bfloat16)
+    model = create_network(config.model, dtype=jnp.bfloat16,
+                           use_flash=config.model.use_flash_attention)
     s = config.model.latent_size
     y0 = (jnp.zeros((1,), jnp.int32)
           if (config.model.num_classes or 0) > 0 and config.model.is_dit
@@ -202,6 +241,55 @@ def _load_vae(args):
 def main(argv=None):
     args = _build_parser().parse_args(argv)
     config = _resolve_config(args)
+
+    if args.cmd == "train-inpainting":
+        import dataclasses as _dc
+
+        from lfm_tpu.data import get_inpainting_dataset
+        from lfm_tpu.train.downstream_loops import train_inpainting
+
+        config = _dc.replace(config, model=_dc.replace(config.model, num_in_channels=9))
+        vae, vae_params = _load_vae(args)
+        ds = get_inpainting_dataset(config)
+        train_inpainting(config, ds, vae, vae_params, max_steps=args.max_steps)
+        return
+
+    if args.cmd == "train-semantic":
+        import dataclasses as _dc
+
+        from lfm_tpu.data.segmentation import get_segmentation_dataset
+        from lfm_tpu.nn.encoders import SpatialRescaler
+        from lfm_tpu.train.downstream_loops import train_semantic
+
+        ds = get_segmentation_dataset(args.seg_dataset, config.data.datadir,
+                                      size=config.model.image_size)
+        num_cls = ds.num_classes
+        config = _dc.replace(config, model=_dc.replace(config.model, num_in_channels=8))
+        vae, vae_params = _load_vae(args)
+        rescaler = SpatialRescaler(n_stages=3, multiplier=0.5, out_channels=4)
+        train_semantic(config, ds, vae, vae_params, rescaler,
+                       num_classes=num_cls, max_steps=args.max_steps)
+        return
+
+    if args.cmd == "test-inpainting":
+        import dataclasses as _dc
+
+        from lfm_tpu.sample.downstream import InpaintingEvalDataset, run_inpainting_eval
+
+        config = _dc.replace(config, model=_dc.replace(config.model, num_in_channels=9))
+        model, params = _load_model_and_params(config, args)
+        if isinstance(params, dict) and "model" in params.get("params", {}):
+            pass  # orbax content layout handled by loader
+        if isinstance(params, dict) and "model" in params:
+            params = params["model"]
+        vae, vae_params = _load_vae(args)
+        ds = InpaintingEvalDataset(args.indir, args.maskdir)
+        save_dir = os.path.join(args.save_dir, config.dataset)
+        run_inpainting_eval(config, model, params, vae, vae_params, ds, save_dir,
+                            batch_size=config.sample.batch_size)
+        print(f"composited samples saved to {save_dir}; score with "
+              "lfm_tpu.eval.inpainting_metrics.calculate_metrics")
+        return
 
     if args.cmd == "train":
         from lfm_tpu.train.loop import train

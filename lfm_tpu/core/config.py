@@ -47,6 +47,8 @@ class ModelConfig:
     # Context conditioning (layout / semantic synthesis)
     context_dim: Optional[int] = None
     transformer_depth: int = 1
+    # TPU performance knobs
+    use_flash_attention: bool = False  # Pallas flash-attention kernels
 
     @property
     def latent_size(self) -> int:

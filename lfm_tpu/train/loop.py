@@ -59,7 +59,8 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
     is_latent = "latent" in config.dataset    # train_flow_latent.py:132
     dtype = jnp.bfloat16 if tc.precision == "bf16" else jnp.float32
 
-    model = create_network(config.model, dtype=dtype, remat=tc.use_grad_checkpointing)
+    model = create_network(config.model, dtype=dtype, remat=tc.use_grad_checkpointing,
+                           use_flash=config.model.use_flash_attention)
     key = jax.random.PRNGKey(tc.seed)
     s = config.model.latent_size
     cin = config.model.num_in_channels
