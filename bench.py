@@ -19,6 +19,11 @@ PyTorch on A100 (the reference's own `--measure_time` harness shape,
 test_flow_latent.py:223-246). The round target is >=3.0.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measured alternatives (v5e, this harness): bf16 param storage and the Pallas
+flash-attention path are throughput-neutral at 256 tokens (the kernel wins
+1.6x at 1024 tokens / DiT at 512px and is required at 4096 where materialized
+attention OOMs); batch 64 is the sweet spot on one chip.
 """
 
 import json
