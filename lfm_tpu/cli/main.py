@@ -221,6 +221,33 @@ def _load_model_and_params(config, args):
     return model, params
 
 
+def _load_inpainting_params(config, args):
+    """Downstream checkpoints wrap params as {'model':..., 'cond':...}
+    (train/downstream_loops.py); reference .pth is a bare ADM state dict."""
+    import jax
+    import jax.numpy as jnp
+
+    from lfm_tpu.core import checkpoint as ckpt
+    from lfm_tpu.nn.factory import create_network
+
+    model = create_network(config.model, dtype=jnp.bfloat16)
+    s = config.model.latent_size
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1,)),
+                          jnp.zeros((1, s, s, config.model.num_in_channels)))
+    path = args.ckpt
+    if path and path.endswith(".pth"):
+        return model, ckpt.load_reference_checkpoint(path, config, model)
+    if path and os.path.isdir(path):
+        from lfm_tpu.core.checkpoint import _ocp
+
+        wrapped = {"model": jax.tree_util.tree_map(np.asarray, template), "cond": {}}
+        with _ocp().PyTreeCheckpointer() as c:
+            restored = c.restore(os.path.abspath(path), item=wrapped)
+        return model, restored["model"]
+    print(f"[warn] checkpoint {path} not found; using random init", file=sys.stderr)
+    return model, template
+
+
 def _load_vae(args):
     import jax
     import jax.numpy as jnp
@@ -277,11 +304,7 @@ def main(argv=None):
         from lfm_tpu.sample.downstream import InpaintingEvalDataset, run_inpainting_eval
 
         config = _dc.replace(config, model=_dc.replace(config.model, num_in_channels=9))
-        model, params = _load_model_and_params(config, args)
-        if isinstance(params, dict) and "model" in params.get("params", {}):
-            pass  # orbax content layout handled by loader
-        if isinstance(params, dict) and "model" in params:
-            params = params["model"]
+        model, params = _load_inpainting_params(config, args)
         vae, vae_params = _load_vae(args)
         ds = InpaintingEvalDataset(args.indir, args.maskdir)
         save_dir = os.path.join(args.save_dir, config.dataset)

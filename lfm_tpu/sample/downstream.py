@@ -31,9 +31,13 @@ class InpaintingEvalDataset:
     loader inverts so 1 = hole). Yields (img, mask, masked) in [-1,1] /
     mask in {0,1} (H, W, 1)."""
 
-    def __init__(self, indir: str, maskdir: str, n: int = 2993):
+    def __init__(self, indir: str, maskdir: str, n: Optional[int] = None):
         self.indir = indir
         self.maskdir = maskdir
+        if n is None:
+            # the reference pins 2,993 (test:32); cap at what exists on disk
+            avail = len([f for f in os.listdir(indir) if f.endswith(".jpg")])
+            n = min(2993, avail)
         self.n = n
         self.num_classes = 1
 
