@@ -10,7 +10,6 @@ transformer_depth=3, context_dim=512). LinearAttention / SpatialSelfAttention
 
 from __future__ import annotations
 
-import math
 from typing import Any, Optional
 
 import jax

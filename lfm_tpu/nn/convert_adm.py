@@ -16,7 +16,7 @@ from typing import Dict, Mapping
 
 import numpy as np
 
-from lfm_tpu.nn.adm_unet import LayerSpec, UNetModel, build_unet_plan
+from lfm_tpu.nn.adm_unet import LayerSpec, UNetModel
 from lfm_tpu.nn.convert_dit import strip_ddp_prefix
 
 

@@ -15,7 +15,7 @@ Configs DiT-{S,B,L,XL}/{2,4,8} mirror models/DiT.py:354-415.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -2,12 +2,10 @@
 
 from __future__ import annotations
 
-from typing import Any, Tuple
-
 import jax.numpy as jnp
 
 from lfm_tpu.core.config import ModelConfig
-from lfm_tpu.nn.dit import DiT, create_dit
+from lfm_tpu.nn.dit import create_dit
 
 
 def create_network(cfg: ModelConfig, *, dtype=jnp.float32, use_flash: bool = False,

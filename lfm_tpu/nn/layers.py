@@ -17,7 +17,7 @@ checkpoint converter transposes torch NCHW/OIHW weights accordingly.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ hash-bucket whitespace tokenizer is the offline fallback.
 from __future__ import annotations
 
 import hashlib
-from typing import Any, List, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ Completes the reference model inventory (SURVEY.md §2.1):
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,8 +9,7 @@ decode, and [0,1] clamp — zero host round-trips per batch.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import math
 import os
-from typing import Callable, Iterator, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from lfm_tpu.core.config import Config
 from lfm_tpu.core.rng import SampleRNG
 from lfm_tpu.core.sharding import DATA_AXIS, make_mesh
-from lfm_tpu.sample.sample import SampleOutput, build_velocity, sample_latents
+from lfm_tpu.sample.sample import build_velocity, sample_latents
 
 
 def make_sharded_generator(

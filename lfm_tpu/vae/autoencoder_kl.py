@@ -15,7 +15,7 @@ and ``img = vae.apply(params, z / 0.18215, method=vae.decode)``.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

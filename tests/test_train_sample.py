@@ -147,3 +147,19 @@ def test_cfg_sampling_runs(trained):
     out = sampler(noise, y)
     assert out.images.shape == (4, 8, 8, 4)
     assert np.isfinite(np.asarray(out.images)).all()
+
+
+def test_dopri5_agrees_with_fine_euler(trained):
+    """Adaptive and very-fine fixed integration of the same learned field
+    must land on (nearly) the same samples — the property FID parity rests on."""
+    model, state, _ = trained
+    noise = SampleRNG(seed=3).randn(jnp.arange(16), (8, 8, 4))
+
+    def make(method, steps):
+        config = _tiny_config(method=method, num_steps=steps)
+        return make_sampler(config, model, state.ema_params, jit=True)
+
+    z_adaptive = make("dopri5", 0)(noise).latents
+    z_fine = make("euler", 800)(noise).latents
+    err = float(jnp.max(jnp.abs(z_adaptive - z_fine)))
+    assert err < 5e-3, err
