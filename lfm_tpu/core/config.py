@@ -184,28 +184,32 @@ PRESETS: dict[str, Config] = {
         dataset="celeba_256",
         model=_dit("DiT-L/2", image_size=256, num_classes=1),
         sample=SampleConfig(epoch_id=475),
-        train=TrainConfig(batch_size=32, num_epoch=500, lr=2e-4, no_lr_decay=True, use_ema=True),
+        train=TrainConfig(batch_size=32, num_epoch=500, lr=2e-4, no_lr_decay=True,
+                          use_ema=True, use_grad_checkpointing=True),
     ),
     "ffhq_dit": Config(
         exp="ffhq_f8_dit",
         dataset="ffhq_256",
         model=_dit("DiT-L/2", image_size=256, num_classes=1),
         sample=SampleConfig(epoch_id=475),
-        train=TrainConfig(batch_size=32, num_epoch=500, lr=2e-4, no_lr_decay=True, use_ema=True),
+        train=TrainConfig(batch_size=32, num_epoch=500, lr=2e-4, no_lr_decay=True,
+                          use_ema=True, use_grad_checkpointing=True),
     ),
     "bed_dit": Config(
         exp="bed_f8_dit",
         dataset="lsun_bedroom",
         model=_dit("DiT-L/2", image_size=256, num_classes=1),
         sample=SampleConfig(epoch_id=550),
-        train=TrainConfig(batch_size=32, num_epoch=800, lr=1e-4, no_lr_decay=True, use_ema=True),
+        train=TrainConfig(batch_size=32, num_epoch=800, lr=1e-4, no_lr_decay=True,
+                          use_ema=True, use_grad_checkpointing=True),
     ),
     "church_dit": Config(
         exp="church_f8_dit",
         dataset="lsun_church",
         model=_dit("DiT-L/2", image_size=256, num_classes=1),
         sample=SampleConfig(epoch_id=575),
-        train=TrainConfig(batch_size=32, num_epoch=800, lr=1e-4, no_lr_decay=True, use_ema=True),
+        train=TrainConfig(batch_size=32, num_epoch=800, lr=1e-4, no_lr_decay=True,
+                          use_ema=True, use_grad_checkpointing=True),
     ),
     "imnet_dit": Config(
         exp="imnet_f8_ditb2",
