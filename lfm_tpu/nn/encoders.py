@@ -33,9 +33,13 @@ class SpatialRescaler(nn.Module):
             n, h, w, c = x.shape
             nh = int(h * self.multiplier)
             nw = int(w * self.multiplier)
-            # torch F.interpolate(bilinear, align_corners=False) semantics
-            x = jax.image.resize(x, (n, nh, nw, c), method="bilinear" if
-                                 self.method in ("bilinear", "linear") else self.method)
+            # torch F.interpolate(bilinear, align_corners=False) semantics:
+            # torch does NOT antialias when downsampling, jax does by default
+            x = jax.image.resize(
+                x, (n, nh, nw, c),
+                method="bilinear" if self.method in ("bilinear", "linear") else self.method,
+                antialias=False,
+            )
         if self.out_channels is not None:
             x = nn.Dense(self.out_channels, use_bias=self.use_bias,
                          dtype=self.dtype, name="channel_mapper")(x)
