@@ -78,3 +78,23 @@ def test_cli_config_resolution():
     assert config.sample.num_steps == 10
     assert config.sample.batch_size == 8
     assert config.sample.epoch_id == 475  # preserved from preset
+
+
+def test_cli_fid_smoke(tmp_path, monkeypatch):
+    """CLI fid end-to-end vs synthetic stats (random inception/VAE weights)."""
+    monkeypatch.chdir(tmp_path)
+    import numpy as np
+
+    from lfm_tpu.eval.fid import save_statistics
+    from lfm_tpu.cli.main import main
+
+    rng = np.random.default_rng(0)
+    acts = rng.normal(size=(64, 2048)).astype(np.float64)
+    save_statistics("stats.npy", acts.mean(0), np.cov(acts, rowvar=False))
+
+    main([
+        "fid", "--dataset", "synthetic", "--model_type", "DiT-S/8",
+        "--image_size", "64", "--num_classes", "1",
+        "--method", "euler", "--steps", "2", "--batch_size", "8",
+        "--n_sample", "16", "--real_img_dir", "stats.npy",
+    ])
