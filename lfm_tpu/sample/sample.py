@@ -37,7 +37,11 @@ def build_velocity(model, params, y: Optional[jnp.ndarray], cfg_scale: float,
 
     if y is not None and cfg_scale > 1.0:
         null = getattr(model, "null_label", None)
-        null_label = null if null is not None else 0
+        # DiT: dedicated null-class row (test_flow_latent.py:176-179).
+        # ADM/EDM: the unconditional branch zeroes the one-hot
+        # (EDM.py:825-826, drop_half_label); jax.nn.one_hot(-1) is the zero
+        # vector, so -1 is the null label for one-hot-conditioned models.
+        null_label = null if null is not None else -1
         y_null = jnp.full_like(y, null_label)
         return cfg_velocity(apply, y, y_null, cfg_scale)
     return plain_velocity(apply, y)

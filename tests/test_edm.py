@@ -202,3 +202,42 @@ def test_factory_dispatch():
     cfg2 = ModelConfig(model_type="ncsn++", image_size=128, nf=32, ch_mult=(1, 2),
                        num_res_blocks=1, attn_resolutions=(8,))
     assert isinstance(create_edm_network(cfg2), SongUNet)
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
+def test_generic_sampler_cfg_matches_reference_for_edm():
+    """build_velocity's CFG for EDM models must equal the reference's
+    drop-half-label semantics (zeroed one-hot, EDM.py:825-826, 847-861)."""
+    import torch
+
+    ref_edm = _load_ref_edm()
+    torch.manual_seed(0)
+    ref = ref_edm.DhariwalUNet(
+        img_resolution=16, in_channels=4, out_channels=4, label_dim=5,
+        model_channels=32, channel_mult=(1, 2), num_blocks=1,
+        attn_resolutions=(8,), dropout=0.0,
+    )
+    ref.eval()
+    _randomize_zero_params(ref)
+
+    mine = DhariwalUNet(img_resolution=16, in_channels=4, out_channels=4,
+                        label_dim=5, model_channels=32, channel_mult=(1, 2),
+                        num_blocks=1, attn_resolutions=(8,), dropout=0.0)
+    params = convert_edm_state_dict(ref.state_dict())
+
+    from lfm_tpu.sample.sample import build_velocity
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 4, 16, 16)).astype(np.float32)
+    y = np.array([1, 3])
+    t = np.full((4,), 0.5, np.float32)
+
+    x2 = np.concatenate([x, x])
+    with torch.no_grad():
+        want = ref.forward_with_cfg(torch.from_numpy(t), torch.from_numpy(x2),
+                                    torch.from_numpy(np.concatenate([y, y])),
+                                    cfg_scale=1.5).numpy()[:2]
+
+    v = build_velocity(mine, params, jnp.asarray(y), cfg_scale=1.5, num_classes=5)
+    got = np.asarray(v(0.5, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, rtol=5e-4, atol=5e-5)
