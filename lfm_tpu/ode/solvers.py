@@ -178,7 +178,7 @@ def _get_tableau(method: str) -> Tableau:
 # ---------------------------------------------------------------------------
 
 def _rk_step(func: Velocity, tab: Tableau, t, dt, y0, f0):
-    """One explicit RK step. Returns (y1, f1, err, k_evals_used)."""
+    """One explicit RK step. Returns (y1, f1, err, k_evals_used, ks)."""
     ks = [f0]
     for i in range(1, len(tab.c)):
         ti = t + tab.c[i] * dt
@@ -193,7 +193,16 @@ def _rk_step(func: Velocity, tab: Tableau, t, dt, y0, f0):
     )
     f1 = ks[-1] if tab.fsal else func(t + dt, y1)
     evals = (len(tab.c) - 1) + (0 if tab.fsal else 1)
-    return y1, f1, err, evals
+    return y1, f1, err, evals, ks
+
+
+def _dopri5_interp_matrix() -> np.ndarray:
+    """Quartic dense-output matrix P for Dormand-Prince 5(4) (the published
+    Shampine coefficients, via scipy's RK45.P): y(t + theta*h) =
+    y0 + h * sum_m (K^T P)[:, m] * theta^(m+1)."""
+    from scipy.integrate._ivp.rk import RK45
+
+    return np.asarray(RK45.P, np.float64)  # (7, 4)
 
 
 def _initial_step(func, t0, y0, f0, order, rtol, atol, direction):
@@ -223,6 +232,11 @@ class _AdaptiveState(NamedTuple):
     nfe: jnp.ndarray
     steps: jnp.ndarray
     rejected: jnp.ndarray
+    # dense-output carry (dopri5 only; zeros otherwise)
+    t_prev: jnp.ndarray
+    h_prev: jnp.ndarray
+    y_prev: Any
+    q: Any  # per-leaf (4, *shape): K^T P interpolation coefficients
 
 
 def _odeint_adaptive(
@@ -238,18 +252,28 @@ def _odeint_adaptive(
     ifactor: float = 10.0,
     dfactor: float = 0.2,
 ) -> ODEResult:
+    """torchdiffeq-style adaptive integration. For dopri5 the final value is
+    the quartic dense-output interpolant evaluated at t1 from the step that
+    crosses it (the reference's torchdiffeq semantics — it never shortens
+    steps to land on t1); other adaptive methods clamp the final step."""
     tab = _get_tableau(method)
+    dense = method == "dopri5"
+    P = jnp.asarray(_dopri5_interp_matrix(), jnp.float32) if dense else None
     direction = 1.0 if t1 >= t0 else -1.0
     t0 = jnp.asarray(t0, jnp.float32)
     t1 = jnp.asarray(t1, jnp.float32)
 
     f0 = func(t0, y0)
     dt0 = _initial_step(func, t0, y0, f0, tab.order, rtol, atol, direction) * direction
+    zeros_q = _tmap(
+        lambda l: jnp.zeros((4,) + jnp.shape(l), jnp.float32), y0
+    ) if dense else None
     init = _AdaptiveState(
         t=t0, y=y0, f=f0, dt=dt0,
         nfe=jnp.asarray(2.0, jnp.float32),  # f0 + the probe eval in _initial_step
         steps=jnp.asarray(0, jnp.int32),
         rejected=jnp.asarray(0, jnp.int32),
+        t_prev=t0, h_prev=jnp.asarray(1.0, jnp.float32), y_prev=y0, q=zeros_q,
     )
 
     def cond(s: _AdaptiveState):
@@ -258,12 +282,16 @@ def _odeint_adaptive(
         return not_done & moving_toward & (s.steps + s.rejected < max_steps)
 
     def body(s: _AdaptiveState):
-        # clamp the step so we land exactly on t1
-        remaining = t1 - s.t
-        dt = jnp.where(jnp.abs(s.dt) > jnp.abs(remaining), remaining, s.dt)
-        on_boundary = jnp.abs(dt) >= jnp.abs(remaining) - 1e-12
+        if dense:
+            dt = s.dt  # free stepping; the crossing step interpolates
+            on_boundary = jnp.asarray(False)
+        else:
+            # clamp the step so we land exactly on t1
+            remaining = t1 - s.t
+            dt = jnp.where(jnp.abs(s.dt) > jnp.abs(remaining), remaining, s.dt)
+            on_boundary = jnp.abs(dt) >= jnp.abs(remaining) - 1e-12
 
-        y1, f1, err, evals = _rk_step(func, tab, s.t, dt, s.y, s.f)
+        y1, f1, err, evals, ks = _rk_step(func, tab, s.t, dt, s.y, s.f)
         ratio = _error_ratio(err, s.y, y1, rtol, atol)
         accept = ratio <= 1.0
 
@@ -280,15 +308,48 @@ def _odeint_adaptive(
         t_new = jnp.where(accept, jnp.where(on_boundary, t1, s.t + dt), s.t)
         y_new = _tmap(lambda a, b: jnp.where(accept, a, b), y1, s.y)
         f_new = _tmap(lambda a, b: jnp.where(accept, a, b), f1, s.f)
+
+        if dense:
+            k_stack = _tmap(
+                lambda *kl: jnp.stack([k.astype(jnp.float32) for k in kl]), *ks
+            )  # per leaf: (7, *shape)
+            q_new = _tmap(
+                lambda kst: jnp.einsum("s...,sm->m...", kst, P), k_stack
+            )
+            q = _tmap(lambda a, b: jnp.where(accept, a, b), q_new, s.q)
+            t_prev = jnp.where(accept, s.t, s.t_prev)
+            h_prev = jnp.where(accept, dt, s.h_prev)
+            y_prev = _tmap(lambda a, b: jnp.where(accept, a, b), s.y, s.y_prev)
+        else:
+            q, t_prev, h_prev, y_prev = s.q, s.t_prev, s.h_prev, s.y_prev
+
         return _AdaptiveState(
             t=t_new, y=y_new, f=f_new, dt=dt_next,
             nfe=s.nfe + evals,
             steps=s.steps + accept.astype(jnp.int32),
             rejected=s.rejected + (1 - accept.astype(jnp.int32)),
+            t_prev=t_prev, h_prev=h_prev, y_prev=y_prev, q=q,
         )
 
     final = lax.while_loop(cond, body, init)
-    return ODEResult(y=final.y, nfe=final.nfe, num_steps=final.steps, num_rejected=final.rejected)
+
+    y_out = final.y
+    if dense:
+        # evaluate the interpolant of the crossing step at t1
+        theta = (t1 - final.t_prev) / final.h_prev
+        powers = jnp.stack([theta ** (m + 1) for m in range(4)])  # (4,)
+
+        def interp(yp, ql, yl):
+            corr = jnp.tensordot(powers, ql, axes=(0, 0)) * final.h_prev
+            interped = yp.astype(jnp.float32) + corr
+            # fall back to the raw endpoint when no step was taken
+            took_step = final.steps > 0
+            return jnp.where(took_step, interped.astype(yl.dtype), yl)
+
+        y_out = _tmap(interp, final.y_prev, final.q, final.y)
+
+    return ODEResult(y=y_out, nfe=final.nfe, num_steps=final.steps,
+                     num_rejected=final.rejected)
 
 
 # ---------------------------------------------------------------------------

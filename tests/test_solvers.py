@@ -129,3 +129,20 @@ def test_nfe_counts_dopri5(y0):
     # 2 initial evals + 6 per attempted step (FSAL)
     expected = 2 + 6 * (int(res.num_steps) + int(res.num_rejected))
     assert float(res.nfe) == expected
+
+
+def test_dopri5_dense_output_interpolation(y0):
+    """dopri5 takes free steps past t1 and interpolates (torchdiffeq
+    semantics); the interpolated endpoint must match scipy even when the
+    natural step is much larger than the remaining interval."""
+    for t1 in (0.9, 0.5, 0.13):
+        ref = _scipy_solution(y0, t0=1.0, t1=t1)
+        res = odeint(_field, y0, 1.0, t1, method="dopri5", rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(res.y), ref, rtol=5e-4, atol=5e-5)
+
+
+def test_dopri5_dense_vs_clamped_nfe(y0):
+    """With loose tolerance the field is cheap; dense output should not need
+    MORE evals than integration itself (no extra clamped micro-steps)."""
+    res = odeint(_field, y0, 1.0, 0.0, method="dopri5", rtol=1e-3, atol=1e-3)
+    assert float(res.nfe) == 2 + 6 * (int(res.num_steps) + int(res.num_rejected))
