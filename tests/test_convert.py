@@ -254,3 +254,95 @@ def test_vae_converter_structure_matches_init():
     img = model.apply(got, z, method=AutoencoderKL.decode)
     assert img.shape == (1, 32, 32, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir("/root/reference"),
+                    reason="reference repo not mounted")
+def test_dit_parity_vs_reference_torch_code():
+    """Run the reference's actual models/DiT.py (its timm dependency shimmed
+    with standard torch implementations of PatchEmbed/Attention/Mlp) and
+    compare against the converted flax DiT."""
+    import sys
+    import types
+
+    import torch
+    import torch.nn as tnn
+
+    class _PatchEmbed(tnn.Module):
+        def __init__(self, img_size, patch_size, in_chans, embed_dim, bias=True):
+            super().__init__()
+            self.patch_size = (patch_size, patch_size)
+            self.num_patches = (img_size // patch_size) ** 2
+            self.proj = tnn.Conv2d(in_chans, embed_dim, kernel_size=patch_size,
+                                   stride=patch_size, bias=bias)
+
+        def forward(self, x):
+            return self.proj(x).flatten(2).transpose(1, 2)
+
+    class _Attention(tnn.Module):
+        def __init__(self, dim, num_heads=8, qkv_bias=False, **kw):
+            super().__init__()
+            self.num_heads = num_heads
+            self.scale = (dim // num_heads) ** -0.5
+            self.qkv = tnn.Linear(dim, dim * 3, bias=qkv_bias)
+            self.proj = tnn.Linear(dim, dim)
+
+        def forward(self, x):
+            b, n, c = x.shape
+            qkv = self.qkv(x).reshape(b, n, 3, self.num_heads, c // self.num_heads)
+            q, k, v = qkv.permute(2, 0, 3, 1, 4).unbind(0)
+            attn = (q @ k.transpose(-2, -1)) * self.scale
+            attn = attn.softmax(dim=-1)
+            out = (attn @ v).transpose(1, 2).reshape(b, n, c)
+            return self.proj(out)
+
+    class _Mlp(tnn.Module):
+        def __init__(self, in_features, hidden_features, act_layer, drop=0.0):
+            super().__init__()
+            self.fc1 = tnn.Linear(in_features, hidden_features)
+            self.act = act_layer()
+            self.fc2 = tnn.Linear(hidden_features, in_features)
+
+        def forward(self, x):
+            return self.fc2(self.act(self.fc1(x)))
+
+    timm = types.ModuleType("timm")
+    models_mod = types.ModuleType("timm.models")
+    vt = types.ModuleType("timm.models.vision_transformer")
+    vt.PatchEmbed, vt.Attention, vt.Mlp = _PatchEmbed, _Attention, _Mlp
+    timm.models = models_mod
+    models_mod.vision_transformer = vt
+    sys.modules["timm"] = timm
+    sys.modules["timm.models"] = models_mod
+    sys.modules["timm.models.vision_transformer"] = vt
+    # reference models/__init__ may be cached from other tests with plain stubs
+    for mod in list(sys.modules):
+        if mod == "models" or mod.startswith("models."):
+            del sys.modules[mod]
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from models.DiT import DiT_models
+
+    torch.manual_seed(0)
+    ref = DiT_models["DiT-S/2"](img_resolution=8, in_channels=4,
+                                label_dropout=0.0, num_classes=1)
+    ref.eval()
+    with torch.no_grad():
+        for p in ref.parameters():
+            if p.requires_grad and p.abs().sum() == 0:
+                p.copy_(torch.randn_like(p) * 0.05)
+
+    from lfm_tpu.nn.dit import create_dit
+
+    mine = create_dit("DiT-S/2", img_resolution=8, num_classes=1)
+    params = convert_dit_state_dict(ref.state_dict(), depth=12, scan_blocks=True)
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(2, 4, 8, 8)).astype(np.float32)
+    t = np.array([0.2, 0.8], np.float32)
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(t), torch.from_numpy(x)).numpy()
+    got = mine.apply(params, jnp.asarray(t), jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               rtol=5e-4, atol=5e-5)
