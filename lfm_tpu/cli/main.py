@@ -96,6 +96,18 @@ def _build_parser():
     tie.add_argument("--save_dir", type=str, default="./inpainting_generated_samples")
     tie.add_argument("--epoch_id", type=int, default=None)
 
+    tse = sub.add_parser("test-semantic")
+    common(tse)
+    tse.add_argument("--seg_dataset", type=str, default="celebamask",
+                     choices=["coco", "ade20k", "celebamask"])
+    tse.add_argument("--split", type=str, default="val")
+    tse.add_argument("--ckpt", type=str, default=None)
+    tse.add_argument("--method", type=str, default=None)
+    tse.add_argument("--num_steps", "--steps", type=int, default=None, dest="num_steps")
+    tse.add_argument("--n_sample", type=int, default=None)
+    tse.add_argument("--save_dir", type=str, default="./semantic_generated_samples")
+    tse.add_argument("--epoch_id", type=int, default=None)
+
     for name in ("sample", "fid", "nfe", "time"):
         s = sub.add_parser(name)
         common(s)
@@ -221,9 +233,10 @@ def _load_model_and_params(config, args):
     return model, params
 
 
-def _load_inpainting_params(config, args):
+def _load_downstream_params(config, args, cond_template=None):
     """Downstream checkpoints wrap params as {'model':..., 'cond':...}
-    (train/downstream_loops.py); reference .pth is a bare ADM state dict."""
+    (train/downstream_loops.py); reference .pth is a bare UNet state dict.
+    Returns (model, {'model': ..., 'cond': ...})."""
     import jax
     import jax.numpy as jnp
 
@@ -234,18 +247,23 @@ def _load_inpainting_params(config, args):
     s = config.model.latent_size
     template = model.init(jax.random.PRNGKey(0), jnp.zeros((1,)),
                           jnp.zeros((1, s, s, config.model.num_in_channels)))
+    cond_template = cond_template if cond_template is not None else {}
     path = args.ckpt
     if path and path.endswith(".pth"):
-        return model, ckpt.load_reference_checkpoint(path, config, model)
+        loaded = ckpt.load_reference_checkpoint(path, config, model)
+        return model, {"model": loaded, "cond": cond_template}
     if path and os.path.isdir(path):
         from lfm_tpu.core.checkpoint import _ocp
 
-        wrapped = {"model": jax.tree_util.tree_map(np.asarray, template), "cond": {}}
+        wrapped = {
+            "model": jax.tree_util.tree_map(np.asarray, template),
+            "cond": jax.tree_util.tree_map(np.asarray, cond_template),
+        }
         with _ocp().PyTreeCheckpointer() as c:
             restored = c.restore(os.path.abspath(path), item=wrapped)
-        return model, restored["model"]
+        return model, restored
     print(f"[warn] checkpoint {path} not found; using random init", file=sys.stderr)
-    return model, template
+    return model, {"model": template, "cond": cond_template}
 
 
 def _load_vae(args):
@@ -304,7 +322,8 @@ def main(argv=None):
         from lfm_tpu.sample.downstream import InpaintingEvalDataset, run_inpainting_eval
 
         config = _dc.replace(config, model=_dc.replace(config.model, num_in_channels=9))
-        model, params = _load_inpainting_params(config, args)
+        model, wrapped = _load_downstream_params(config, args)
+        params = wrapped["model"]
         vae, vae_params = _load_vae(args)
         ds = InpaintingEvalDataset(args.indir, args.maskdir)
         save_dir = os.path.join(args.save_dir, config.dataset)
@@ -312,6 +331,47 @@ def main(argv=None):
                             batch_size=config.sample.batch_size)
         print(f"composited samples saved to {save_dir}; score with "
               "lfm_tpu.eval.inpainting_metrics.calculate_metrics")
+        return
+
+    if args.cmd == "test-semantic":
+        import dataclasses as _dc
+
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from lfm_tpu.data.segmentation import get_segmentation_dataset
+        from lfm_tpu.nn.encoders import SpatialRescaler
+        from lfm_tpu.sample.downstream import make_semantic_sampler
+        from lfm_tpu.train.loop import save_image_grid
+
+        ds = get_segmentation_dataset(args.seg_dataset, config.data.datadir,
+                                      size=config.model.image_size,
+                                      split=args.split)
+        num_cls = ds.num_classes
+        config = _dc.replace(config, model=_dc.replace(config.model, num_in_channels=8))
+        rescaler = SpatialRescaler(n_stages=3, multiplier=0.5, out_channels=4)
+        rtemplate = rescaler.init(
+            _jax.random.PRNGKey(0),
+            _jnp.zeros((1, config.model.image_size, config.model.image_size, num_cls)),
+        )["params"]
+        model, wrapped = _load_downstream_params(config, args, cond_template=rtemplate)
+        mparams, rparams = wrapped["model"], wrapped["cond"]
+        vae, vae_params = _load_vae(args)
+        sampler = make_semantic_sampler(config, model, mparams, rescaler, rparams,
+                                        vae, vae_params, num_classes=num_cls)
+        os.makedirs(args.save_dir, exist_ok=True)
+        n = min(args.n_sample or 8, len(ds))
+        bs = config.sample.batch_size
+        from PIL import Image
+
+        for start in range(0, n, bs):
+            idx = range(start, min(start + bs, n))
+            seg = np.stack([ds[i][1] for i in idx])
+            out = np.asarray(sampler(seg, _jax.random.PRNGKey(start)))
+            for j, i in enumerate(idx):
+                Image.fromarray((out[j] * 255).astype(np.uint8)).save(
+                    os.path.join(args.save_dir, f"{i}.jpg"))
+        print(f"{n} semantic samples saved to {args.save_dir}")
         return
 
     if args.cmd == "train":

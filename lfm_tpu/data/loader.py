@@ -17,9 +17,15 @@ import numpy as np
 
 
 class DataLoader:
+    """batch_size here is the PER-HOST batch. For multi-host training pass
+    ``shard=(jax.process_index(), jax.process_count())`` and each host reads
+    only its strided slice of the (identically seeded) shuffled order — the
+    DistributedSampler equivalent
+    (reference downstream_tasks/train_flow_latent_inpainting.py:80-90)."""
+
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, seed: int = 0, prefetch: int = 2,
-                 with_labels: bool = True):
+                 with_labels: bool = True, shard: Optional[tuple] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -27,10 +33,13 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.with_labels = with_labels
+        self.shard = shard
         self.epoch = 0
 
     def __len__(self):
         n = len(self.dataset)
+        if self.shard is not None:
+            n = n // self.shard[1]
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def set_epoch(self, epoch: int):
@@ -40,7 +49,12 @@ class DataLoader:
     def _order(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
+            # identical seed across hosts -> identical global order
             np.random.default_rng(self.seed + self.epoch).shuffle(idx)
+        if self.shard is not None:
+            rank, world = self.shard
+            n = (len(idx) // world) * world
+            idx = idx[:n][rank::world]
         return idx
 
     def _assemble(self, indices) -> Dict[str, np.ndarray]:

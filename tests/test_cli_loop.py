@@ -98,3 +98,38 @@ def test_cli_fid_smoke(tmp_path, monkeypatch):
         "--method", "euler", "--steps", "2", "--batch_size", "8",
         "--n_sample", "16", "--real_img_dir", "stats.npy",
     ])
+
+
+def test_cli_test_semantic_smoke(tmp_path, monkeypatch):
+    """test-semantic CLI: seg dataset -> conditional sampling -> JPEGs."""
+    monkeypatch.chdir(tmp_path)
+    import numpy as np
+    from PIL import Image
+
+    root = tmp_path / "ade"
+    (root / "images").mkdir(parents=True)
+    (root / "annotations").mkdir()
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(2):
+        name = f"{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+            root / "images" / name)
+        Image.fromarray(rng.integers(0, 5, (40, 40), np.uint8), mode="L").save(
+            root / "annotations" / f"{i}.png")
+        names.append(name)
+    (root / "val.txt").write_text("\n".join(names))
+
+    from lfm_tpu.cli.main import main
+
+    main([
+        "test-semantic", "--seg_dataset", "ade20k", "--datadir", str(root),
+        "--dataset", "ade20k", "--model_type", "adm", "--use_origin_adm",
+        "--image_size", "32", "--nf", "32", "--ch_mult", "1", "2",
+        "--attn_resolutions", "2", "--num_res_blocks", "1",
+        "--method", "euler", "--steps", "2", "--batch_size", "2",
+        "--n_sample", "2", "--save_dir", str(tmp_path / "sem_out"),
+    ])
+    import os
+
+    assert sorted(os.listdir(tmp_path / "sem_out")) == ["0.jpg", "1.jpg"]

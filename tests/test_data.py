@@ -118,3 +118,18 @@ def test_inpainting_dataset(tmp_path):
     assert img.shape == (64, 64, 3)
     assert mask.shape == (64, 64, 1)
     np.testing.assert_allclose(masked, img * (1 - mask), atol=1e-6)
+
+
+def test_loader_host_sharding():
+    """Union of per-host shards == full (truncated) dataset; disjoint."""
+    ds = SyntheticImageDataset(n=21, image_size=8, num_classes=1)
+    seen = []
+    for rank in range(4):
+        dl = DataLoader(ds, batch_size=1, shuffle=True, drop_last=True,
+                        seed=3, shard=(rank, 4), with_labels=False)
+        assert len(dl) == 5  # 21 -> 20 usable, 5 per host
+        order = dl._order()
+        seen.append(order)
+    flat = np.concatenate(seen)
+    assert len(flat) == 20
+    assert len(np.unique(flat)) == 20  # disjoint cover
