@@ -1,0 +1,139 @@
+"""content.pth full-resume conversion test.
+
+Trains the actual reference torch ADM UNet for 3 AdamW(+EMA) steps on a loss
+with framework-independent gradients (0.5*sum(p^2) => grad = p), saves a
+content.pth-style dict, converts it, then takes ONE more step on BOTH sides
+— torch and the converted optax state — and checks the parameters agree.
+That only holds if params, Adam moments, step count and EMA all converted
+correctly."""
+
+import os
+import sys
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+REF = "/root/reference"
+HAS_REF = os.path.isdir(REF)
+
+TINY = dict(
+    image_size=16, in_channels=4, model_channels=32, out_channels=4,
+    num_res_blocks=1, attention_resolutions=(8,), channel_mult=(1, 2),
+    num_heads=2,
+)
+LR = 1e-3
+
+
+def _stub_timm():
+    if "timm" in sys.modules:
+        return
+    timm = types.ModuleType("timm")
+    models_mod = types.ModuleType("timm.models")
+    vt = types.ModuleType("timm.models.vision_transformer")
+    vt.Attention = vt.Mlp = vt.PatchEmbed = object
+    timm.models = models_mod
+    models_mod.vision_transformer = vt
+    sys.modules.update({"timm": timm, "timm.models": models_mod,
+                        "timm.models.vision_transformer": vt})
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
+def test_content_pth_resume_continues_identically():
+    import torch
+
+    _stub_timm()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from models.guided_diffusion.unet import UNetModel as TorchUNet
+    from EMA import EMA as TorchEMA
+
+    torch.manual_seed(0)
+    ref = TorchUNet(
+        image_size=TINY["image_size"], in_channels=TINY["in_channels"],
+        model_channels=TINY["model_channels"], out_channels=TINY["out_channels"],
+        num_res_blocks=TINY["num_res_blocks"],
+        attention_resolutions=TINY["attention_resolutions"],
+        channel_mult=TINY["channel_mult"], num_heads=TINY["num_heads"],
+        use_scale_shift_norm=True,
+    )
+    with torch.no_grad():
+        for p in ref.parameters():
+            if p.abs().sum() == 0:
+                p.copy_(torch.randn_like(p) * 0.05)
+
+    opt = torch.optim.AdamW(ref.parameters(), lr=LR, weight_decay=0.0)
+    opt = TorchEMA(opt, ema_decay=0.9)
+
+    def torch_step():
+        opt.optimizer.zero_grad()
+        loss = sum(0.5 * (p ** 2).sum() for p in ref.parameters())
+        loss.backward()
+        opt.step()
+
+    for _ in range(3):
+        torch_step()
+
+    content = {
+        "epoch": 2,
+        "global_step": 3,
+        "model_dict": {k: v.clone() for k, v in ref.state_dict().items()},
+        # modern torch breaks the vendored EMA wrapper's state_dict();
+        # the inner optimizer shares the state dict (incl. the 'ema' entries)
+        "optimizer": opt.optimizer.state_dict(),
+    }
+
+    # ---- convert ----
+    from lfm_tpu.core.config import Config, ModelConfig, TrainConfig
+    from lfm_tpu.core.convert_optimizer import convert_reference_content
+    from lfm_tpu.nn.adm_unet import UNetModel
+
+    config = Config(model=ModelConfig(
+        model_type="adm", use_origin_adm=True, image_size=16 * 8,
+        num_in_channels=4, num_out_channels=4, nf=32, ch_mult=(1, 2),
+        num_res_blocks=1, attn_resolutions=(8,), num_heads=2,
+    ))
+    mine = UNetModel(**TINY, use_scale_shift_norm=True)
+    tx = optax.adamw(LR, b1=0.9, b2=0.999, weight_decay=0.0)
+    state, epoch, gstep = convert_reference_content(content, config, mine, tx)
+    assert epoch == 2 and gstep == 3
+
+    # converted params match torch exactly
+    from lfm_tpu.nn.convert_adm import convert_adm_state_dict
+
+    want_params = convert_adm_state_dict(content["model_dict"], mine)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(want_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # ---- one more step on both sides ----
+    torch_step()
+    want_after = convert_adm_state_dict(ref.state_dict(), mine)
+
+    grads = state.params  # grad of 0.5*sum(p^2) is p
+    updates, _ = tx.update(
+        jax.tree_util.tree_map(jnp.asarray, grads), state.opt_state,
+        jax.tree_util.tree_map(jnp.asarray, state.params),
+    )
+    got_after = jax.tree_util.tree_map(
+        lambda p, u: jnp.asarray(p) + u, state.params, updates
+    )
+
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(got_after),
+        jax.tree_util.tree_leaves_with_path(want_after),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+    # EMA converted: ema = decay*ema + (1-decay)*p tracked over torch steps
+    ema_leaves = jax.tree_util.tree_leaves(state.ema_params)
+    p_leaves = jax.tree_util.tree_leaves(state.params)
+    diffs = [float(np.max(np.abs(np.asarray(e) - np.asarray(p))))
+             for e, p in zip(ema_leaves, p_leaves)]
+    assert max(diffs) > 0  # EMA state is distinct from the live params
