@@ -65,6 +65,9 @@ def _build_parser():
     t.add_argument("--save_ckpt_every", type=int, default=None)
     t.add_argument("--plot_every", type=int, default=None)
     t.add_argument("--resume", action="store_true", default=None)
+    t.add_argument("--model_ckpt", type=str, default=None,
+                   help="init/resume from a checkpoint; a reference "
+                        "content.pth restores optimizer + EMA state too")
     t.add_argument("--precision", type=str, default=None, choices=["bf16", "f32"])
     t.add_argument("--max_steps", type=int, default=None)
 
@@ -187,6 +190,7 @@ def _resolve_config(args):
             save_ckpt_every=args.save_ckpt_every, plot_every=args.plot_every,
             resume=args.resume, precision=args.precision,
             batch_size=args.batch_size, seed=args.seed,
+            model_ckpt=args.model_ckpt,
         )
     data = over(config.data, dataset=args.dataset, datadir=args.datadir)
     config = dataclasses.replace(

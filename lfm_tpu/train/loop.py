@@ -98,7 +98,15 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
         f.write(config.to_json())
 
     init_epoch = 0
-    if (tc.resume or ckpt.has_content(exp_path)) and ckpt.has_content(exp_path):
+    if tc.model_ckpt and tc.model_ckpt.endswith(".pth") and os.path.exists(tc.model_ckpt):
+        # resume straight from a reference content.pth (torch AdamW + EMA)
+        from lfm_tpu.core.convert_optimizer import load_reference_content
+
+        state, init_epoch, _ = load_reference_content(tc.model_ckpt, config, model, tx)
+        state = jax.device_put(state, repl)
+        log_fn(f"=> resumed from reference checkpoint {tc.model_ckpt} "
+               f"(epoch {init_epoch})")
+    elif (tc.resume or ckpt.has_content(exp_path)) and ckpt.has_content(exp_path):
         state, init_epoch = ckpt.restore_content(exp_path, state)
         state = jax.device_put(state, repl)
         log_fn(f"=> resume checkpoint (epoch {init_epoch})")

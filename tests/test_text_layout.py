@@ -99,3 +99,45 @@ def test_group_parameter_representation():
     assert rep == 13  # 3 + 10*1
     back = b.representation_to_annotation(rep)
     assert back.category_no == 3 and back.is_group_of
+
+
+def test_annotated_objects_coco(tmp_path):
+    """COCO instances JSON -> images + builder token sequences."""
+    import json
+    from PIL import Image
+
+    from lfm_tpu.data.annotated_objects import AnnotatedObjectsCoco
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    coco = {"categories": [{"id": 7, "name": "cat"}, {"id": 9, "name": "dog"}],
+            "images": [], "annotations": []}
+    for i in range(3):
+        name = f"{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (64, 80, 3), np.uint8)).save(img_dir / name)
+        coco["images"].append({"id": i, "file_name": name, "width": 80, "height": 64})
+        coco["annotations"].append({
+            "id": 10 * i, "image_id": i, "category_id": 7,
+            "bbox": [8, 8, 24, 24], "area": 24 * 24, "iscrowd": 0,
+        })
+        coco["annotations"].append({
+            "id": 10 * i + 1, "image_id": i, "category_id": 9,
+            "bbox": [40, 20, 16, 30], "area": 16 * 30, "iscrowd": 0,
+        })
+    ann_file = tmp_path / "instances.json"
+    ann_file.write_text(json.dumps(coco))
+
+    ds = AnnotatedObjectsCoco(str(img_dir), str(ann_file), target_image_size=32,
+                              max_objects_per_image=4, no_tokens=1024,
+                              random_flip=False)
+    assert len(ds) == 3
+    assert ds.no_classes == 2
+    item = ds[0]
+    assert item["image"].shape == (32, 32, 3)
+    assert item["objects_bbox"].shape == (12,)          # 4 objects x 3 tokens
+    assert item["objects_center_points"].shape == (8,)  # 4 objects x 2 tokens
+    # decode back: category numbers present
+    objs, _ = ds.conditional_builders["objects_bbox"].inverse_build(item["objects_bbox"])
+    assert 0 < len(objs) <= 2
+    assert all(cls in (0, 1) for cls, _ in objs)
