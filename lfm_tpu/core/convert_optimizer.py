@@ -27,10 +27,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+# Registered buffers appear in state_dict but not in parameters() order.
+# (DiT's frozen pos_embed IS a Parameter: it keeps its optimizer index; the
+# weight converters simply drop it on the flax side.)
 _BUFFER_MARKERS = ("resample_filter", "map_noise.freqs")
-# DiT's pos_embed is a Parameter (indexed by the optimizer) but fixed and
-# recomputed on our side; the converters drop it.
-_DIT_POS_EMBED = "pos_embed"
 
 
 def ordered_param_names(model_sd: Mapping) -> List[str]:
