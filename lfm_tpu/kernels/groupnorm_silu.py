@@ -1,0 +1,70 @@
+"""Pallas fused GroupNorm + SiLU.
+
+The ADM/EDM UNets run GroupNorm -> SiLU before nearly every conv
+(SURVEY.md §2.2 lists this fusion as a planned hot kernel). Unfused, the
+normalize/affine/silu chain makes multiple HBM round-trips over the feature
+map; this kernel computes group statistics, normalization, affine and SiLU
+in one VMEM-resident pass per sample.
+
+Layout: x (N, H, W, C) NHWC, C divisible by num_groups; statistics in fp32
+regardless of input dtype (GroupNorm32 semantics,
+reference models/guided_diffusion/nn.py:17-19).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups: int, eps: float):
+    x = x_ref[0].astype(jnp.float32)  # (HW, C)
+    hw, c = x.shape
+    cg = c // groups
+    xg = x.reshape(hw, groups, cg)
+    mean = jnp.mean(xg, axis=(0, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xg - mean), axis=(0, 2), keepdims=True)
+    y = (xg - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(hw, c) * scale_ref[0] + bias_ref[0]
+    o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "eps"))
+def groupnorm_silu(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                   groups: int = 32, eps: float = 1e-5) -> jnp.ndarray:
+    """x: (N, H, W, C); scale/bias: (C,). Returns silu(groupnorm(x))."""
+    n, h, w, c = x.shape
+    xf = x.reshape(n, h * w, c)
+    out = pl.pallas_call(
+        functools.partial(_gn_silu_kernel, groups=groups, eps=eps),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h * w, c), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * n * h * w * c,
+            bytes_accessed=2 * n * h * w * c * x.dtype.itemsize,
+            transcendentals=n * h * w * c,
+        ),
+    )(xf, scale.reshape(1, c), bias.reshape(1, c))
+    return out.reshape(n, h, w, c)
+
+
+def reference_groupnorm_silu(x, scale, bias, groups: int = 32, eps: float = 1e-5):
+    """Plain-XLA reference for parity tests."""
+    n, h, w, c = x.shape
+    xg = x.astype(jnp.float32).reshape(n, h * w, groups, c // groups)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xg - mean), axis=(1, 3), keepdims=True)
+    y = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(n, h, w, c)
+    y = y * scale + bias
+    return (y * jax.nn.sigmoid(y)).astype(x.dtype)

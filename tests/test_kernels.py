@@ -88,3 +88,43 @@ def test_dit_attention_flash_flag():
     with pltpu.force_tpu_interpret_mode():
         got = a_flash.apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_groupnorm_silu_matches_reference_and_flax():
+    from flax import linen as nn
+
+    from lfm_tpu.kernels.groupnorm_silu import (
+        _gn_silu_kernel,
+        groupnorm_silu,
+        reference_groupnorm_silu,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 64)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+
+    want = reference_groupnorm_silu(x, scale, bias, groups=32)
+    # flax GroupNorm + silu as independent ground truth
+    gn = nn.GroupNorm(num_groups=32, epsilon=1e-5)
+    flax_out = jax.nn.silu(gn.apply({"params": {"scale": scale, "bias": bias}}, x))
+    np.testing.assert_allclose(np.asarray(want), np.asarray(flax_out),
+                               rtol=1e-5, atol=1e-5)
+
+    import functools as ft
+
+    n, h, w, c = x.shape
+    got = pl.pallas_call(
+        ft.partial(_gn_silu_kernel, groups=32, eps=1e-5),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, h * w, c), x.dtype),
+        interpret=True,
+    )(x.reshape(n, h * w, c), scale.reshape(1, c), bias.reshape(1, c))
+    np.testing.assert_allclose(np.asarray(got.reshape(x.shape)), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
