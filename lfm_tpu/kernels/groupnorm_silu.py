@@ -22,14 +22,38 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups: int, eps: float):
+    """Group stats via matmul with a channel->group membership matrix —
+    Mosaic cannot lower reshapes that split the 128-lane channel dim."""
     x = x_ref[0].astype(jnp.float32)  # (HW, C)
     hw, c = x.shape
     cg = c // groups
-    xg = x.reshape(hw, groups, cg)
-    mean = jnp.mean(xg, axis=(0, 2), keepdims=True)
-    var = jnp.mean(jnp.square(xg - mean), axis=(0, 2), keepdims=True)
-    y = (xg - mean) * jax.lax.rsqrt(var + eps)
-    y = y.reshape(hw, c) * scale_ref[0] + bias_ref[0]
+
+    chan_group = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cg
+    group_ids = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    gmat = (chan_group == group_ids).astype(jnp.float32)  # (C, G)
+
+    sum_c = jnp.sum(x, axis=0, keepdims=True)          # (1, C)
+    sumsq_c = jnp.sum(x * x, axis=0, keepdims=True)    # (1, C)
+    n = float(hw * cg)
+    # HIGHEST precision: the MXU's default f32 matmul truncates to bf16
+    # passes, which is visible in the group statistics
+    hp = jax.lax.Precision.HIGHEST
+
+    def gdot(a, b, dims):
+        return jax.lax.dot_general(a, b, (dims, ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=hp)
+
+    mean_g = gdot(sum_c, gmat, ((1,), (0,))) / n
+    ex2_g = gdot(sumsq_c, gmat, ((1,), (0,))) / n
+    var_g = ex2_g - mean_g * mean_g
+
+    mean_c = gdot(mean_g, gmat, ((1,), (1,)))  # (1, C)
+    var_c = gdot(var_g, gmat, ((1,), (1,)))
+
+    # exact sqrt: Mosaic lowers lax.rsqrt to the fast approximate rsqrt
+    y = (x - mean_c) / jnp.sqrt(var_c + eps)
+    y = y * scale_ref[0] + bias_ref[0]
     o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
 
 
