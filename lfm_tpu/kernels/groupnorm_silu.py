@@ -6,6 +6,13 @@ normalize/affine/silu chain makes multiple HBM round-trips over the feature
 map; this kernel computes group statistics, normalization, affine and SiLU
 in one VMEM-resident pass per sample.
 
+Measured end-to-end (ADM-256 100-NFE euler sampling, v5e, bs32): the fused
+kernel is ~11% SLOWER than plain XLA (32.7 -> 29.2 samples/s) — XLA already
+fuses the normalize/silu chain into the surrounding convs, and the
+standalone kernel blocks that fusion. It therefore ships OFF by default
+(`UNetModel(use_fused_gn=True)` opts in); kept as the measured baseline for
+future epilogue-fusion work.
+
 Layout: x (N, H, W, C) NHWC, C divisible by num_groups; statistics in fp32
 regardless of input dtype (GroupNorm32 semantics,
 reference models/guided_diffusion/nn.py:17-19).
@@ -92,3 +99,15 @@ def reference_groupnorm_silu(x, scale, bias, groups: int = 32, eps: float = 1e-5
     y = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(n, h, w, c)
     y = y * scale + bias
     return (y * jax.nn.sigmoid(y)).astype(x.dtype)
+
+
+class FusedGNSiLU:
+    """Helper for modules: apply fused GN+SiLU on TPU, XLA math elsewhere.
+    Callers own the scale/bias params (path-compatible with GroupNorm32)."""
+
+    @staticmethod
+    def apply(x, scale, bias, groups: int = 32, eps: float = 1e-5,
+              use_pallas: bool = True):
+        if use_pallas and jax.default_backend() == "tpu":
+            return groupnorm_silu(x, scale, bias, groups=groups, eps=eps)
+        return reference_groupnorm_silu(x, scale, bias, groups=groups, eps=eps)

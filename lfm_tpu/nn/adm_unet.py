@@ -133,6 +133,34 @@ class ADMDownsample(nn.Module):
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
+class _GNSiLU(nn.Module):
+    """GroupNorm32 + SiLU, optionally fused via the Pallas kernel. Param path
+    matches GroupNorm32 (<name>/norm/{scale,bias}) for checkpoint compat."""
+
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        if not self.fused:
+            orig = x.dtype
+            y = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
+                             name="norm")(x.astype(jnp.float32))
+            return nn.silu(y).astype(orig)
+
+        class _P(nn.Module):
+            @nn.compact
+            def __call__(self, features):
+                return (self.param("scale", nn.initializers.ones, (features,)),
+                        self.param("bias", nn.initializers.zeros, (features,)))
+
+        scale, bias = _P(name="norm")(c)
+        from lfm_tpu.kernels.groupnorm_silu import FusedGNSiLU
+
+        orig = x.dtype
+        return FusedGNSiLU.apply(x.astype(jnp.float32), scale, bias).astype(orig)
+
+
 class ADMResBlock(nn.Module):
     """ResBlock with optional scale-shift norm and fused up/down resampling
     (reference unet.py:131-238)."""
@@ -142,13 +170,13 @@ class ADMResBlock(nn.Module):
     use_scale_shift_norm: bool = True
     up: bool = False
     down: bool = False
+    fused_gn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, emb, train: bool = False):
         in_ch = x.shape[-1]
-        h = GroupNorm32(name="in_norm")(x)
-        h = nn.silu(h)
+        h = _GNSiLU(fused=self.fused_gn, name="in_norm")(x)
         if self.up or self.down:
             resample = self._resample
             h = resample(h)
@@ -167,8 +195,7 @@ class ADMResBlock(nn.Module):
             h = nn.silu(h)
         else:
             h = h + e[:, None, None, :]
-            h = GroupNorm32(name="out_norm")(h)
-            h = nn.silu(h)
+            h = _GNSiLU(fused=self.fused_gn, name="out_norm")(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
@@ -254,6 +281,7 @@ class UNetModel(nn.Module):
     use_scale_shift_norm: bool = True
     resblock_updown: bool = False
     use_new_attention_order: bool = False
+    use_fused_gn: bool = False  # Pallas fused GroupNorm+SiLU in res blocks
     # SpatialTransformer cross-attention variant (reference UNetModelAttn,
     # unet.py:882-1205; wired with transformer_depth=3, context_dim=512 for
     # --layout, models/__init__.py:21-46)
@@ -279,7 +307,7 @@ class UNetModel(nn.Module):
             return nn.Conv(spec.out_ch, (3, 3), padding=1, dtype=self.dtype, name=name)
         if spec.kind == "res":
             return ADMResBlock(spec.out_ch, self.dropout, self.use_scale_shift_norm,
-                               dtype=self.dtype, name=name)
+                               fused_gn=self.use_fused_gn, dtype=self.dtype, name=name)
         if spec.kind == "attn":
             if self.use_spatial_transformer:
                 ch = spec.out_ch
@@ -307,10 +335,12 @@ class UNetModel(nn.Module):
             return ADMUpsample(spec.out_ch, self.conv_resample, dtype=self.dtype, name=name)
         if spec.kind == "res_down":
             return ADMResBlock(spec.out_ch, self.dropout, self.use_scale_shift_norm,
-                               down=True, dtype=self.dtype, name=name)
+                               down=True, fused_gn=self.use_fused_gn,
+                               dtype=self.dtype, name=name)
         if spec.kind == "res_up":
             return ADMResBlock(spec.out_ch, self.dropout, self.use_scale_shift_norm,
-                               up=True, dtype=self.dtype, name=name)
+                               up=True, fused_gn=self.use_fused_gn,
+                               dtype=self.dtype, name=name)
         raise ValueError(spec.kind)
 
     @nn.compact

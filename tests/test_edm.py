@@ -241,3 +241,39 @@ def test_generic_sampler_cfg_matches_reference_for_edm():
     v = build_velocity(mine, params, jnp.asarray(y), cfg_scale=1.5, num_classes=5)
     got = np.asarray(v(0.5, jnp.asarray(x.transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
+@pytest.mark.parametrize("enc,dec", [("skip", "standard"), ("standard", "skip"),
+                                     ("skip", "skip")])
+def test_song_skip_variants_parity(enc, dec):
+    """Progressive skip encoder/decoder paths (EDM.py:606-610,649-661)."""
+    import torch
+
+    ref_edm = _load_ref_edm()
+    torch.manual_seed(0)
+    kw = dict(img_resolution=16, in_channels=4, out_channels=4, label_dim=0,
+              model_channels=32, channel_mult=[1, 2], num_blocks=1,
+              attn_resolutions=[8], dropout=0.0,
+              embedding_type="positional", channel_mult_noise=1,
+              resample_filter=[1, 1])
+    ref = ref_edm.SongUNet(**kw, encoder_type=enc, decoder_type=dec)
+    ref.eval()
+    _randomize_zero_params(ref)
+
+    mine = SongUNet(
+        img_resolution=16, in_channels=4, out_channels=4, model_channels=32,
+        channel_mult=(1, 2), num_blocks=1, attn_resolutions=(8,), dropout=0.0,
+        embedding_type="positional", channel_mult_noise=1,
+        encoder_type=enc, decoder_type=dec, resample_filter=(1.0, 1.0),
+    )
+    params = convert_edm_state_dict(ref.state_dict())
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, 4, 16, 16)).astype(np.float32)
+    t = np.array([0.3, 0.6], np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(t), torch.from_numpy(x)).numpy()
+    got = mine.apply(params, jnp.asarray(t), jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               rtol=5e-4, atol=5e-5)
