@@ -21,6 +21,23 @@ jax.config.update("jax_default_matmul_precision", "float32")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The heaviest end-to-end modules get an automatic `slow` marker so iteration
+# can use `pytest -m "not slow"` (the full suite is ~20 min on this 1-core
+# host; the fast subset is a few minutes).
+_SLOW_MODULES = {
+    "tests.test_cli_loop", "tests.test_conditional", "tests.test_downstream_eval",
+    "tests.test_downstream_loops", "tests.test_sharded_fid",
+    "tests.test_train_sample", "tests.test_partition", "tests.test_presets_build",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    short_names = {m.split(".")[-1] for m in _SLOW_MODULES}
+    for item in items:
+        name = item.module.__name__
+        if name in _SLOW_MODULES or name.split(".")[-1] in short_names:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def mesh8():
