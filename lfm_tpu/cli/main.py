@@ -67,6 +67,9 @@ def _build_parser():
     t.add_argument("--model_ckpt", type=str, default=None,
                    help="init/resume from a checkpoint; a reference "
                         "content.pth restores optimizer + EMA state too")
+    t.add_argument("--dp", type=int, default=None, help="data-parallel mesh axis (-1 = all)")
+    t.add_argument("--fsdp", type=int, default=None, help="FSDP mesh axis")
+    t.add_argument("--tp", type=int, default=None, help="tensor-parallel mesh axis")
     t.add_argument("--precision", type=str, default=None, choices=["bf16", "f32"])
     t.add_argument("--max_steps", type=int, default=None)
 
@@ -192,8 +195,9 @@ def _resolve_config(args):
             model_ckpt=args.model_ckpt,
         )
     data = over(config.data, dataset=args.dataset, datadir=args.datadir)
+    mesh = over(config.mesh, dp=args.dp, fsdp=args.fsdp, tp=args.tp)
     config = dataclasses.replace(
-        config, model=model, sample=sample, train=train_cfg, data=data,
+        config, model=model, sample=sample, train=train_cfg, data=data, mesh=mesh,
     )
     config = over(config, exp=args.exp, dataset=args.dataset,
                   scale_factor=args.scale_factor)

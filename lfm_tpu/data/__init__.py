@@ -17,6 +17,7 @@ from lfm_tpu.data.datasets import (
     LatentDataset,
     Subset,
     SyntheticImageDataset,
+    SyntheticLatentDataset,
 )
 from lfm_tpu.data.loader import DataLoader
 from lfm_tpu.data.masks import get_mask_generator
@@ -38,6 +39,12 @@ def get_dataset(config: Config, seed: int = 0):
     if name.startswith("latent_"):
         return LatentDataset(datadir)
     if name.startswith("synthetic"):
+        if "latent" in name:
+            return SyntheticLatentDataset(
+                n=256, latent_size=config.model.latent_size,
+                channels=config.model.num_in_channels,
+                num_classes=config.model.num_classes or 1, seed=seed,
+            )
         return SyntheticImageDataset(
             n=256, image_size=size,
             num_classes=config.model.num_classes or 1, seed=seed,

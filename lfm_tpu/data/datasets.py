@@ -125,6 +125,28 @@ class LatentDataset:
         return np.asarray(self.z[i], np.float32), int(self.y[i]) if self.y is not None else 0
 
 
+class SyntheticLatentDataset:
+    """Deterministic random latents (latent-res, 4ch) for smoke runs without
+    a VAE."""
+
+    def __init__(self, n: int, latent_size: int, channels: int = 4,
+                 num_classes: int = 1, seed: int = 0):
+        self.n = n
+        self.latent_size = latent_size
+        self.channels = channels
+        self.num_classes = num_classes
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(self.seed * 99991 + i)
+        z = rng.normal(size=(self.latent_size, self.latent_size,
+                             self.channels)).astype(np.float32)
+        return z, int(rng.integers(self.num_classes))
+
+
 class SyntheticImageDataset:
     """Deterministic random images for tests/smoke runs."""
 
