@@ -22,6 +22,7 @@ from flax import linen as nn
 
 from lfm_tpu.nn.adm_unet import (
     ADMAttentionBlock,
+    ADMDownsample,
     ADMResBlock,
     UNetModel,
     build_unet_plan,
@@ -128,8 +129,8 @@ class EncoderUNetModel(nn.Module):
                                         self.use_scale_shift_norm, down=True,
                                         dtype=self.dtype, name=name)(h, emb, train)
                     else:
-                        h = nn.Conv(spec.out_ch, (3, 3), strides=2, padding=1,
-                                    dtype=self.dtype, name=name)(h)
+                        h = ADMDownsample(spec.out_ch, dtype=self.dtype,
+                                          name=name)(h)
             if self.pool.startswith("spatial"):
                 spatial_feats.append(h.mean(axis=(1, 2)))
 

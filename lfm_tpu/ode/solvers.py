@@ -20,6 +20,12 @@ model uses (bf16 matmuls on TPU); controller arithmetic runs in
 ``solver_dtype`` (f32 by default; f64 when ``jax.config.jax_enable_x64``).
 
 State may be any pytree; error norms reduce over all leaves.
+
+Caveat measured on hardware: with bf16 velocity networks, high-order
+adaptive methods see the ~1e-3 bf16 evaluation noise as truncation error —
+dopri8 at tol 1e-5 thrashes to NFE ~13k on a DiT field where dopri5 needs
+~200. Use dopri5 (the reference's default) for bf16 models, or loosen tol /
+run the model in f32 for dopri8.
 """
 
 from __future__ import annotations

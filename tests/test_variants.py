@@ -77,3 +77,76 @@ def test_dynamic_loss_scale():
     updates, state = tx.update(bad, state, params)
     np.testing.assert_allclose(np.asarray(updates["w"]), 0.0)
     assert float(state.scale) == 1024.0
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir("/root/reference"),
+                    reason="reference repo not mounted")
+def test_encoder_unet_parity_vs_reference():
+    """Classifier half-UNet (adaptive pool) vs the reference torch
+    EncoderUNetModel (unet.py:675-879)."""
+    import sys
+    import types
+
+    import torch
+
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        mm = types.ModuleType("timm.models")
+        vt = types.ModuleType("timm.models.vision_transformer")
+        vt.Attention = vt.Mlp = vt.PatchEmbed = object
+        timm.models = mm
+        mm.vision_transformer = vt
+        sys.modules.update({"timm": timm, "timm.models": mm,
+                            "timm.models.vision_transformer": vt})
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from models.guided_diffusion.unet import EncoderUNetModel as TorchEnc
+
+    torch.manual_seed(0)
+    ref = TorchEnc(
+        image_size=16, in_channels=4, model_channels=32, out_channels=10,
+        num_res_blocks=1, attention_resolutions=(8,), channel_mult=(1, 2),
+        num_heads=2, use_scale_shift_norm=True, pool="adaptive",
+    )
+    ref.eval()
+    with torch.no_grad():
+        for p in ref.parameters():
+            if p.abs().sum() == 0:
+                p.copy_(torch.randn_like(p) * 0.05)
+
+    mine = EncoderUNetModel(
+        image_size=16, in_channels=4, model_channels=32, out_channels=10,
+        num_res_blocks=1, attention_resolutions=(8,), channel_mult=(1, 2),
+        num_heads=2, use_scale_shift_norm=True, pool="adaptive",
+    )
+
+    # converter: input/middle blocks use the shared plan mapping; the
+    # adaptive head's 1x1 conv (applied on the pooled 1x1 map) is a Dense
+    from lfm_tpu.nn.adm_unet import build_unet_plan
+    from lfm_tpu.nn.convert_adm import _conv, _gn, _layer
+
+    sd = ref.state_dict()
+    plan = build_unet_plan(32, (1, 2), 1, (8,), 4, False)
+    params = {}
+    for i, block in enumerate(plan.input_blocks):
+        for j, spec in enumerate(block):
+            params[f"input_{i}_{j}"] = _layer(sd, f"input_blocks.{i}.{j}", spec)
+    for j, spec in enumerate(plan.middle_block):
+        params[f"middle_{j}"] = _layer(sd, f"middle_block.{j}", spec)
+    params["time_embed_1"] = {"kernel": sd["time_embed.0.weight"].numpy().T,
+                              "bias": sd["time_embed.0.bias"].numpy()}
+    params["time_embed_2"] = {"kernel": sd["time_embed.2.weight"].numpy().T,
+                              "bias": sd["time_embed.2.bias"].numpy()}
+    params["out_norm"] = _gn(sd, "out.0")
+    # adaptive head: out.0 norm, out.1 silu, out.2 pool, out.3 zero conv
+    w = sd["out.3.weight"].numpy()  # (10, C, 1, 1)
+    params["out_proj"] = {"kernel": w[:, :, 0, 0].T, "bias": sd["out.3.bias"].numpy()}
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 4, 16, 16)).astype(np.float32)
+    t = np.array([0.3, 0.7], np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+    got = mine.apply({"params": params}, jnp.asarray(t),
+                     jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-5)
