@@ -137,3 +137,115 @@ def test_content_pth_resume_continues_identically():
     diffs = [float(np.max(np.abs(np.asarray(e) - np.asarray(p))))
              for e, p in zip(ema_leaves, p_leaves)]
     assert max(diffs) > 0  # EMA state is distinct from the live params
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
+def test_content_pth_resume_dit():
+    """Same continued-training equivalence for DiT — exercises the frozen
+    pos_embed Parameter, which occupies an optimizer param INDEX but never
+    gets Adam state (requires_grad=False)."""
+    import torch
+    import torch.nn as tnn
+
+    # functional timm shim (as in test_convert.py)
+    class _PatchEmbed(tnn.Module):
+        def __init__(self, img_size, patch_size, in_chans, embed_dim, bias=True):
+            super().__init__()
+            self.patch_size = (patch_size, patch_size)
+            self.num_patches = (img_size // patch_size) ** 2
+            self.proj = tnn.Conv2d(in_chans, embed_dim, kernel_size=patch_size,
+                                   stride=patch_size, bias=bias)
+
+        def forward(self, x):
+            return self.proj(x).flatten(2).transpose(1, 2)
+
+    class _Attention(tnn.Module):
+        def __init__(self, dim, num_heads=8, qkv_bias=False, **kw):
+            super().__init__()
+            self.num_heads = num_heads
+            self.scale = (dim // num_heads) ** -0.5
+            self.qkv = tnn.Linear(dim, dim * 3, bias=qkv_bias)
+            self.proj = tnn.Linear(dim, dim)
+
+        def forward(self, x):
+            b, n, c = x.shape
+            qkv = self.qkv(x).reshape(b, n, 3, self.num_heads, c // self.num_heads)
+            q, k, v = qkv.permute(2, 0, 3, 1, 4).unbind(0)
+            attn = ((q @ k.transpose(-2, -1)) * self.scale).softmax(dim=-1)
+            return self.proj((attn @ v).transpose(1, 2).reshape(b, n, c))
+
+    class _Mlp(tnn.Module):
+        def __init__(self, in_features, hidden_features, act_layer, drop=0.0):
+            super().__init__()
+            self.fc1 = tnn.Linear(in_features, hidden_features)
+            self.act = act_layer()
+            self.fc2 = tnn.Linear(hidden_features, in_features)
+
+        def forward(self, x):
+            return self.fc2(self.act(self.fc1(x)))
+
+    timm = types.ModuleType("timm")
+    mm = types.ModuleType("timm.models")
+    vt = types.ModuleType("timm.models.vision_transformer")
+    vt.PatchEmbed, vt.Attention, vt.Mlp = _PatchEmbed, _Attention, _Mlp
+    timm.models = mm
+    mm.vision_transformer = vt
+    sys.modules.update({"timm": timm, "timm.models": mm,
+                        "timm.models.vision_transformer": vt})
+    for mod in list(sys.modules):
+        if mod == "models" or mod.startswith("models."):
+            del sys.modules[mod]
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from models.DiT import DiT_models
+
+    torch.manual_seed(0)
+    ref = DiT_models["DiT-S/2"](img_resolution=8, in_channels=4,
+                                label_dropout=0.0, num_classes=1)
+    with torch.no_grad():
+        for p in ref.parameters():
+            if p.requires_grad and p.abs().sum() == 0:
+                p.copy_(torch.randn_like(p) * 0.05)
+
+    opt = torch.optim.AdamW(ref.parameters(), lr=LR, weight_decay=0.0)
+
+    def torch_step():
+        opt.zero_grad()
+        loss = sum(0.5 * (p ** 2).sum() for p in ref.parameters()
+                   if p.requires_grad)
+        loss.backward()
+        opt.step()
+
+    for _ in range(3):
+        torch_step()
+
+    content = {"epoch": 1, "global_step": 3,
+               "model_dict": {k: v.clone() for k, v in ref.state_dict().items()},
+               "optimizer": opt.state_dict()}
+
+    from lfm_tpu.core.config import Config, ModelConfig
+    from lfm_tpu.core.convert_optimizer import convert_reference_content
+    from lfm_tpu.nn.convert_dit import convert_dit_state_dict
+    from lfm_tpu.nn.dit import create_dit
+
+    config = Config(model=ModelConfig(model_type="DiT-S/2", image_size=64,
+                                      num_classes=1))
+    mine = create_dit("DiT-S/2", img_resolution=8, num_classes=1)
+    tx = optax.adamw(LR, b1=0.9, b2=0.999, weight_decay=0.0)
+    state, epoch, gstep = convert_reference_content(content, config, mine, tx)
+
+    torch_step()
+    want_after = convert_dit_state_dict(ref.state_dict(), depth=12)
+
+    grads = state.params
+    updates, _ = tx.update(jax.tree_util.tree_map(jnp.asarray, grads),
+                           state.opt_state,
+                           jax.tree_util.tree_map(jnp.asarray, state.params))
+    got_after = jax.tree_util.tree_map(lambda p, u: jnp.asarray(p) + u,
+                                       state.params, updates)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(got_after),
+        jax.tree_util.tree_leaves_with_path(want_after),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=2e-6, err_msg=jax.tree_util.keystr(pa))
