@@ -23,7 +23,11 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Measured alternatives (v5e, this harness): bf16 param storage and the Pallas
 flash-attention path are throughput-neutral at 256 tokens (the kernel wins
 1.6x at 1024 tokens / DiT at 512px and is required at 4096 where materialized
-attention OOMs); batch 64 is the sweet spot on one chip.
+attention OOMs); batch 64 is the sweet spot on one chip. The adaptive path
+itself adds no overhead: real dopri5 on a perturbed DiT-L/2 measured the
+same per-NFE throughput as this euler proxy (NFE 218 -> 3.49 samples/s,
+i.e. ~760 NFE-batches/s either way), so samples/sec scales as 100/NFE of
+the trained checkpoint.
 """
 
 import json
