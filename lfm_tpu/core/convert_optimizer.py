@@ -98,18 +98,33 @@ def _convert_family(sd: Mapping, config, model):
     return convert_edm_state_dict(sd)
 
 
-def _inject_adam_state(opt_state, mu, nu, count):
-    """Replace the ScaleByAdamState inside an optax.adamw state tuple."""
+def _inject_adam_state(opt_state, mu, nu, count, schedule_count=None):
+    """Replace the ScaleByAdamState inside an optax.adamw state tuple, and
+    restore every counted schedule state (ScaleByScheduleState and any other
+    count-only NamedTuple) to ``schedule_count`` so a resumed cosine LR decay
+    continues from the checkpointed global step instead of restarting at the
+    epoch-0 LR (the reference restores ``scheduler.state_dict()``,
+    train_flow_latent.py:121-124)."""
+    if schedule_count is None:
+        schedule_count = count
 
     def walk(node):
         if isinstance(node, optax.ScaleByAdamState):
             return optax.ScaleByAdamState(
                 count=jnp.asarray(count, jnp.int32), mu=mu, nu=nu
             )
-        if isinstance(node, tuple) and not hasattr(node, "_fields"):
-            return tuple(walk(n) for n in node)
-        if hasattr(node, "_fields"):  # other NamedTuple states pass through
+        if isinstance(node, optax.ScaleByScheduleState):
+            return optax.ScaleByScheduleState(
+                count=jnp.asarray(schedule_count, jnp.int32)
+            )
+        if hasattr(node, "_fields"):
+            # generic counted states (e.g. scale_by_learning_rate variants):
+            # anything whose only field is `count`
+            if set(node._fields) == {"count"}:
+                return type(node)(count=jnp.asarray(schedule_count, jnp.int32))
             return node
+        if isinstance(node, tuple):
+            return tuple(walk(n) for n in node)
         return node
 
     return walk(opt_state)
@@ -137,14 +152,14 @@ def convert_reference_content(content: Mapping, config, model, tx) -> Tuple[Any,
 
     # moments share the params' tree structure (converters return
     # {'params': ...} exactly like the weight conversion)
+    global_step = int(content.get("global_step", step))
     opt_state = tx.init(params)
-    opt_state = _inject_adam_state(opt_state, mu, nu, step)
+    opt_state = _inject_adam_state(opt_state, mu, nu, step,
+                                   schedule_count=global_step)
 
     ema_params = _convert_family(ema_sd, config, model) if ema_sd else jax.tree_util.tree_map(
         lambda x: np.array(x, copy=True), params
     )
-
-    global_step = int(content.get("global_step", step))
     epoch = int(content.get("epoch", 0))
     state = TrainState(
         step=jnp.asarray(global_step, jnp.int32),

@@ -15,22 +15,60 @@ from typing import Optional
 
 import jax
 
+# jax.distributed.initialize() must run BEFORE any JAX device operation, so
+# the idempotence guard must NOT query jax (jax.process_count() initializes
+# the local backend and dooms the real initialize). Track with a module flag
+# plus jax.distributed's own client state.
+_initialized = False
+
+
+def _already_initialized() -> bool:
+    if _initialized:
+        return True
+    try:  # jax keeps the distributed client in jax._src.distributed
+        from jax._src import distributed as _dist
+
+        return getattr(_dist.global_state, "client", None) is not None
+    except Exception:
+        return False
+
 
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """Join the multi-host job. On Cloud TPU all arguments come from the
     runtime; pass them explicitly for manual (e.g. DCN multi-slice) setups.
-    Safe to call when already initialized or single-host."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    Safe to call when already initialized or single-host.
+
+    Single-host runs (num_processes==1, or no coordinator discoverable in a
+    non-TPU environment) skip distributed init entirely — that is the
+    supported single-process mode, mirroring the reference's world_size==1
+    "debug mode" (test_flow_latent.py:426-429)."""
+    global _initialized
+    if _already_initialized():
+        return
+    if num_processes == 1:
+        _initialized = True  # explicit single-host: nothing to join
+        return
     try:
         if coordinator_address is None:
             jax.distributed.initialize()
         else:
             jax.distributed.initialize(coordinator_address, num_processes, process_id)
-    except (RuntimeError, ValueError):
-        pass  # single-host / already initialized
+        _initialized = True
+    except RuntimeError as e:
+        # Only swallow the specific benign cases: already initialized, or
+        # no TPU/coordinator environment to auto-discover (single-host dev).
+        msg = str(e).lower()
+        if "already initialized" in msg:
+            _initialized = True
+            return
+        if coordinator_address is None and (
+            "coordinator" in msg or "could not be found" in msg
+            or "unable to detect" in msg or "requires" in msg
+        ):
+            return  # single-host fallback: auto-discovery has nothing to find
+        raise
 
 
 def process_index() -> int:
@@ -47,10 +85,13 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
-def sync_hosts() -> None:
+def sync_hosts() -> float:
     """Barrier across hosts (reference dist.barrier,
-    test_flow_latent.py:275): a tiny psum over all devices blocks until
-    every host contributes."""
+    test_flow_latent.py:275): a tiny all-device sum whose SCALAR RESULT is
+    transferred to the host. The device->host transfer is the
+    synchronization point — ``block_until_ready`` does NOT wait on the
+    axon-tunnel TPU platform (see CLAUDE.md environment rules), so we
+    ``float()`` the reduction instead. Returns the sum (== device count)."""
     import numpy as np
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -58,7 +99,7 @@ def sync_hosts() -> None:
     devices = np.asarray(jax.devices())
     mesh = Mesh(devices, ("d",))
     x = jax.device_put(jnp.ones((len(devices),)), NamedSharding(mesh, P("d")))
-    jnp.sum(x).block_until_ready()
+    return float(jnp.sum(x))  # scalar transfer == the real barrier
 
 
 def data_shard() -> tuple:

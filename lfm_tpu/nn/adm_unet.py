@@ -293,6 +293,15 @@ class UNetModel(nn.Module):
     use_flash: bool = False
 
     @property
+    def null_label(self) -> int:
+        """CFG null class. Origin-ADM embeds labels by integer GATHER
+        (reference unet.py:630 ``label_emb(y)``), so -1 would wrap to the
+        LAST class row; the reference harness uses class 0
+        (``torch.zeros_like(y)``, test_flow_latent.py:180) for non-DiT
+        models — mirror that."""
+        return 0
+
+    @property
     def plan(self) -> UNetPlan:
         return build_unet_plan(
             self.model_channels, self.channel_mult, self.num_res_blocks,

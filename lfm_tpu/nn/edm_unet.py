@@ -397,6 +397,12 @@ class SongUNet(nn.Module):
             adaptive_scale=False, dtype=self.dtype,
         )
 
+    @property
+    def null_label(self) -> int:
+        # one_hot(-1) is the zero vector == the reference's drop_half_label
+        # zeroed one-hot (EDM.py:825-826)
+        return -1
+
     @nn.compact
     def __call__(self, t, x, y=None, augment_labels=None, train: bool = False):
         n = x.shape[0]
@@ -518,6 +524,12 @@ class DhariwalUNet(nn.Module):
             emb_ch=self.model_channels * self.channel_mult_emb,
             channels_per_head=64, dropout=self.dropout, dtype=self.dtype,
         )
+
+    @property
+    def null_label(self) -> int:
+        # one_hot(-1) == zero vector == reference drop_half_label zeroing
+        # (EDM.py:825-826)
+        return -1
 
     @property
     def _block_cls(self):

@@ -429,39 +429,48 @@ def sample_heun_karras(
     steps_for_churn: int = 40,
 ) -> Any:
     """Karras Heun loop with optional churn noise + 2nd-order correction
-    (karras_sample.py:121-161). The reference applies the correction at every
-    step (its `i < steps-1` guard uses the default steps=40 argument, not the
-    actual schedule length), which we mirror; with sigma_min=1e-5 > 0 the
-    final-step correction is well-defined."""
+    (karras_sample.py:121-161). The reference's correction guard is
+    ``i < steps - 1`` where ``steps`` stays at its DEFAULT 40 (the dispatch
+    at karras_sample.py:32-35 never forwards the actual schedule length), so
+    the correction runs for the first 39 steps and schedules longer than
+    that fall back to plain Euler for the tail. We mirror that exactly — as
+    a STATIC split into a corrected scan followed by an Euler-only scan, so
+    no wasted second model evaluation is traced for the tail."""
     n = sigmas.shape[0] - 1
     gamma_const = min(s_churn / steps_for_churn, float(np.sqrt(2) - 1)) if s_churn > 0 else 0.0
     if noise_key is None:
         noise_key = jax.random.PRNGKey(0)
 
-    def step(carry, i):
+    def _churned(x, i, t_cur, t_hat):
+        if gamma_const <= 0:
+            return x
+        key = jax.random.fold_in(noise_key, i)
+        noise = _tmap(lambda l: jax.random.normal(key, l.shape, l.dtype), x)
+        return _tmap(
+            lambda xl, nl: xl + jnp.sqrt(jnp.maximum(t_hat**2 - t_cur**2, 0.0)) * s_noise * nl,
+            x, noise,
+        )
+
+    def step(carry, i, *, correct: bool):
         x = carry
         t_cur = sigmas[i]
         t_next = sigmas[i + 1]
         gamma = jnp.where((s_tmin <= t_cur) & (t_cur <= s_tmax), gamma_const, 0.0)
         t_hat = t_cur + gamma * t_cur
-        if gamma_const > 0:
-            key = jax.random.fold_in(noise_key, i)
-            noise = _tmap(lambda l: jax.random.normal(key, l.shape, l.dtype), x)
-            x_hat = _tmap(
-                lambda xl, nl: xl + jnp.sqrt(jnp.maximum(t_hat**2 - t_cur**2, 0.0)) * s_noise * nl,
-                x, noise,
-            )
-        else:
-            x_hat = x
+        x_hat = _churned(x, i, t_cur, t_hat)
         d_cur = denoiser(x_hat, t_hat)
         x_next = _axpy(t_next - t_hat, d_cur, x_hat)
-        # 2nd-order correction (applied every step; see docstring)
-        d_prime = denoiser(x_next, t_next)
-        d_avg = _tmap(lambda a, b: 0.5 * a + 0.5 * b, d_cur, d_prime)
-        x_next = _axpy(t_next - t_hat, d_avg, x_hat)
+        if correct:
+            d_prime = denoiser(x_next, t_next)
+            d_avg = _tmap(lambda a, b: 0.5 * a + 0.5 * b, d_cur, d_prime)
+            x_next = _axpy(t_next - t_hat, d_avg, x_hat)
         return x_next, None
 
-    x1, _ = lax.scan(step, x, jnp.arange(n))
+    n_corr = min(n, steps_for_churn - 1)
+    x1, _ = lax.scan(lambda c, i: step(c, i, correct=True), x, jnp.arange(n_corr))
+    if n > n_corr:
+        x1, _ = lax.scan(lambda c, i: step(c, i, correct=False), x1,
+                         jnp.arange(n_corr, n))
     return x1
 
 

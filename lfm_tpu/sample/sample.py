@@ -36,12 +36,14 @@ def build_velocity(model, params, y: Optional[jnp.ndarray], cfg_scale: float,
         return model.apply(params, t, x, yy)
 
     if y is not None and cfg_scale > 1.0:
-        null = getattr(model, "null_label", None)
-        # DiT: dedicated null-class row (test_flow_latent.py:176-179).
-        # ADM/EDM: the unconditional branch zeroes the one-hot
-        # (EDM.py:825-826, drop_half_label); jax.nn.one_hot(-1) is the zero
-        # vector, so -1 is the null label for one-hot-conditioned models.
-        null_label = null if null is not None else -1
+        # Each model family defines its own CFG null label:
+        #   DiT        -> dedicated null-class row (test_flow_latent.py:176-179)
+        #   EDM        -> -1: one_hot(-1) == zero vector == drop_half_label
+        #                 zeroing (EDM.py:825-826)
+        #   origin ADM -> 0: label_emb is an integer GATHER (unet.py:630), so
+        #                 -1 would wrap to the last class; the reference
+        #                 harness uses zeros_like(y) (test_flow_latent.py:180)
+        null_label = getattr(model, "null_label", -1)
         y_null = jnp.full_like(y, null_label)
         return cfg_velocity(apply, y, y_null, cfg_scale)
     return plain_velocity(apply, y)
@@ -64,8 +66,16 @@ def sample_latents(
             lambda x, sigma: velocity(sigma, x), x_noise, num_steps,
             sampler=method if method in ("euler", "heun") else "euler",
         )
-        per_step = 2 if method == "heun" else 1
-        return z, jnp.asarray(float(num_steps * per_step), jnp.float32)
+        pairs = max(num_steps - 1, 0)
+        if method == "heun":
+            # 2nd-order correction only for the first 39 steps (the
+            # reference guard `i < steps-1` with the default steps=40;
+            # see ode/solvers.py::sample_heun_karras)
+            corrected = min(pairs, 39)
+            nfe = 2 * corrected + (pairs - corrected)
+        else:
+            nfe = pairs
+        return z, jnp.asarray(float(nfe), jnp.float32)
     if method in ADAPTIVE_SOLVER:
         res = odeint(velocity, x_noise, 1.0, 0.0, method=method, atol=atol, rtol=rtol)
         return res.y, res.nfe

@@ -157,3 +157,34 @@ def test_parity_vs_reference_torch(flags):
     )
     got = np.asarray(got).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)
+
+
+def test_cfg_null_label_is_class_zero():
+    """Origin-ADM embeds labels by integer GATHER (unet.py:630), so a -1
+    null would silently wrap to the LAST class row. The reference harness
+    uses zeros_like(y) (test_flow_latent.py:180); build_velocity must do
+    the same (ADVICE round-1 #3)."""
+    from lfm_tpu.sample.sample import build_velocity
+
+    model = UNetModel(**{**TINY, "num_classes": 5})
+    params, t, x, y = _init(model)
+    # the output conv is zero-initialized -> forward would be identically 0;
+    # randomize every zero leaf so labels actually influence the output
+    keys = iter(jax.random.split(jax.random.PRNGKey(7), 256))
+    params = jax.tree_util.tree_map(
+        lambda p: jax.random.normal(next(keys), p.shape, p.dtype) * 0.05
+        if float(jnp.abs(p).max()) == 0.0 else p, params)
+
+    assert model.null_label == 0
+    v = build_velocity(model, params, y, cfg_scale=2.0, num_classes=5)
+    got = np.asarray(v(t[0], x))
+
+    v_cond = np.asarray(model.apply(params, t[0], x, y))
+    v_null = np.asarray(model.apply(params, t[0], x, jnp.zeros_like(y)))
+    want = v_null + 2.0 * (v_cond - v_null)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+    # and it must NOT equal the wrapped(-1 -> last row) combination
+    v_last = np.asarray(model.apply(params, t[0], x, jnp.full_like(y, 4)))
+    wrong = v_last + 2.0 * (v_cond - v_last)
+    assert not np.allclose(got, wrong, rtol=1e-3, atol=1e-4)

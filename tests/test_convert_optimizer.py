@@ -249,3 +249,55 @@ def test_content_pth_resume_dit():
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
                                    atol=2e-6, err_msg=jax.tree_util.keystr(pa))
+
+
+def test_inject_restores_schedule_count():
+    """Resuming a content.pth with cosine LR decay must continue the
+    schedule from the checkpointed global step, not restart at the epoch-0
+    LR (reference restores scheduler.state_dict(),
+    train_flow_latent.py:121-124; ADVICE round-1 #1)."""
+    from lfm_tpu.core.config import TrainConfig
+    from lfm_tpu.core.convert_optimizer import _inject_adam_state
+    from lfm_tpu.train.state import cosine_epoch_schedule, make_optimizer
+
+    cfg = TrainConfig(lr=1e-3, no_lr_decay=False, num_epoch=100)
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    params = {"w": jnp.ones((3,))}
+    mu = {"w": jnp.full((3,), 0.1)}
+    nu = {"w": jnp.full((3,), 0.2)}
+
+    st = _inject_adam_state(tx.init(params), mu, nu, count=500,
+                            schedule_count=500)
+
+    found_adam = found_sched = False
+
+    def walk(node):
+        nonlocal found_adam, found_sched
+        if isinstance(node, optax.ScaleByAdamState):
+            found_adam = True
+            assert int(node.count) == 500
+            np.testing.assert_allclose(np.asarray(node.mu["w"]), 0.1)
+        elif hasattr(node, "_fields") and set(node._fields) == {"count"}:
+            found_sched = True
+            assert int(node.count) == 500
+        elif isinstance(node, tuple):
+            for x in node:
+                walk(x)
+
+    walk(st)
+    assert found_adam and found_sched
+
+    # one optimizer update from the injected state must apply the lr at
+    # step 500 (epoch 50), not the epoch-0 lr: compare against a state
+    # whose schedule count was (wrongly) left at 0
+    sched = cosine_epoch_schedule(cfg, steps_per_epoch=10)
+    lr500, lr0 = float(sched(500)), float(sched(0))
+    assert abs(lr500 - lr0) > 1e-5  # schedule actually decays by then
+
+    grads = {"w": jnp.ones((3,))}
+    upd_resumed, _ = tx.update(grads, st, params)
+    st0 = _inject_adam_state(tx.init(params), mu, nu, count=500,
+                             schedule_count=0)
+    upd_fresh, _ = tx.update(grads, st0, params)
+    ratio = float(upd_resumed["w"][0]) / float(upd_fresh["w"][0])
+    np.testing.assert_allclose(ratio, lr500 / lr0, rtol=1e-5)

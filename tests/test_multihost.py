@@ -1,0 +1,99 @@
+"""Tests for core/multihost.py (reference ddp_utils.py:12-30 equivalent).
+
+Single-host semantics are tested for real on the CPU mesh; the multi-host
+initialize() path is tested with a mocked ``jax.distributed.initialize`` —
+crucially asserting the wrapper performs NO jax device operation before
+delegating (jax.distributed.initialize must run before any backend init,
+which is exactly what the round-1 implementation got wrong).
+"""
+
+import jax
+import pytest
+
+from lfm_tpu.core import multihost
+
+
+@pytest.fixture(autouse=True)
+def _reset_flag():
+    multihost._initialized = False
+    yield
+    multihost._initialized = False
+
+
+def test_single_host_gates():
+    assert multihost.process_index() == 0
+    assert multihost.process_count() == 1
+    assert multihost.is_main_process()
+    assert multihost.data_shard() == (0, 1)
+
+
+def test_sync_hosts_scalar_transfer(mesh8):
+    # the barrier's return value is the transferred scalar (== device count);
+    # float()-ing it is the synchronization point on the axon platform
+    assert multihost.sync_hosts() == float(len(jax.devices()))
+
+
+def test_initialize_delegates_before_any_jax_call(monkeypatch):
+    """initialize() must reach jax.distributed.initialize WITHOUT first
+    touching the local backend (e.g. via jax.process_count())."""
+    calls = []
+
+    def fake_dist_init(*a, **k):
+        calls.append((a, k))
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_dist_init)
+    # any backend query before delegation would be a bug: poison them
+    monkeypatch.setattr(jax, "process_count",
+                        lambda: pytest.fail("backend touched before init"))
+    monkeypatch.setattr(jax, "devices",
+                        lambda *a: pytest.fail("backend touched before init"))
+
+    multihost.initialize("10.0.0.1:1234", 2, 0)
+    assert calls == [(("10.0.0.1:1234", 2, 0), {})]
+
+
+def test_initialize_idempotent(monkeypatch):
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(a))
+    multihost.initialize("addr:1", 2, 0)
+    multihost.initialize("addr:1", 2, 0)  # second call is a no-op
+    assert len(calls) == 1
+
+
+def test_initialize_explicit_single_host_skips(monkeypatch):
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda *a, **k: pytest.fail("must not init for num_processes=1"))
+    multihost.initialize(num_processes=1)
+    assert multihost._initialized
+
+
+def test_initialize_swallows_already_initialized(monkeypatch):
+    def raise_already(*a, **k):
+        raise RuntimeError("jax.distributed is already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", raise_already)
+    multihost.initialize("addr:1", 2, 0)  # no raise
+    assert multihost._initialized
+
+
+def test_initialize_reraises_real_errors(monkeypatch):
+    def raise_real(*a, **k):
+        raise RuntimeError("connection refused by coordinator service")
+
+    monkeypatch.setattr(jax.distributed, "initialize", raise_real)
+    with pytest.raises(RuntimeError, match="connection refused"):
+        multihost.initialize("addr:1", 2, 0)
+
+
+def test_initialize_single_host_autodiscovery_fallback(monkeypatch):
+    """No-arg initialize in a non-TPU env: auto-discovery failure falls back
+    to single-host instead of crashing (the dev-box / CI case)."""
+    def raise_discovery(*a, **k):
+        raise RuntimeError("Could not find coordinator; auto-discovery "
+                           "could not be found in this environment")
+
+    monkeypatch.setattr(jax.distributed, "initialize", raise_discovery)
+    multihost.initialize()  # no raise
+    assert multihost.process_count() == 1

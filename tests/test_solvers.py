@@ -146,3 +146,47 @@ def test_dopri5_dense_vs_clamped_nfe(y0):
     MORE evals than integration itself (no extra clamped micro-steps)."""
     res = odeint(_field, y0, 1.0, 0.0, method="dopri5", rtol=1e-3, atol=1e-3)
     assert float(res.nfe) == 2 + 6 * (int(res.num_steps) + int(res.num_rejected))
+
+
+def test_heun_karras_correction_guard_matches_reference():
+    """The reference applies the 2nd-order correction only while
+    ``i < steps - 1`` with steps stuck at its DEFAULT 40
+    (karras_sample.py:32-35 never forwards the schedule length). For a
+    45-sigma schedule the last 5 steps must be plain Euler — compare
+    against a straight-line numpy replica of the reference loop."""
+    from lfm_tpu.ode import karras_sigmas
+    from lfm_tpu.ode.solvers import sample_heun_karras
+
+    def v(x, s):
+        return -x + 0.3 * s  # simple affine field
+
+    n_sig = 45
+    sigmas = np.asarray(karras_sigmas(n_sig))
+    x0 = np.linspace(-1.0, 1.0, 8).astype(np.float32)
+
+    # numpy replica of reference sample_heun (karras_sample.py:121-161),
+    # steps=40 default, no churn
+    x = x0.copy()
+    for i, (t_cur, t_next) in enumerate(zip(sigmas[:-1], sigmas[1:])):
+        d_cur = v(x, t_cur)
+        x_next = x + (t_next - t_cur) * d_cur
+        if i < 40 - 1:
+            d_prime = v(x_next, t_next)
+            x_next = x + (t_next - t_cur) * (0.5 * d_cur + 0.5 * d_prime)
+        x = x_next
+
+    got = np.asarray(sample_heun_karras(
+        lambda xx, ss: v(xx, ss), jnp.asarray(x0), jnp.asarray(sigmas)))
+    np.testing.assert_allclose(got, x, rtol=1e-5, atol=1e-6)
+
+    # and the <=40-sigma case still corrects on every step
+    sig40 = np.asarray(karras_sigmas(40))
+    x = x0.copy()
+    for t_cur, t_next in zip(sig40[:-1], sig40[1:]):
+        d_cur = v(x, t_cur)
+        x_next = x + (t_next - t_cur) * d_cur
+        d_prime = v(x_next, t_next)
+        x = x + (t_next - t_cur) * (0.5 * d_cur + 0.5 * d_prime)
+    got40 = np.asarray(sample_heun_karras(
+        lambda xx, ss: v(xx, ss), jnp.asarray(x0), jnp.asarray(sig40)))
+    np.testing.assert_allclose(got40, x, rtol=1e-5, atol=1e-6)
