@@ -21,11 +21,22 @@ model uses (bf16 matmuls on TPU); controller arithmetic runs in
 
 State may be any pytree; error norms reduce over all leaves.
 
-Caveat measured on hardware: with bf16 velocity networks, high-order
-adaptive methods see the ~1e-3 bf16 evaluation noise as truncation error —
-dopri8 at tol 1e-5 thrashes to NFE ~13k on a DiT field where dopri5 needs
-~200. Use dopri5 (the reference's default) for bf16 models, or loosen tol /
-run the model in f32 for dopri8.
+bf16 velocity networks: raw high-order error estimates are dominated by the
+model's relative evaluation noise (measured ~3.5e-3 local roughness on a
+bf16 DiT-L/2; dopri8 at tol 1e-5 used to thrash to NFE ~4k-13k where dopri5
+needs ~80-200). ``eval_noise`` enables a noise floor on the error estimate:
+the per-element noise std of the embedded error
+(|dt| * eval_noise * sqrt(sum_i b_err_i^2 k_i^2), independent rounding per
+stage — the correlated component cancels exactly because sum_i b_err_i == 0)
+is subtracted from the measured error ratio in quadrature, recovering the
+truncation component the controller should act on. ``eval_noise="auto"``
+calibrates the level with one extra probe evaluation at t0 (displace y0 by
+1e-4 relative — quantization decorrelates, the true field barely moves —
+and read the rms difference). The sampling layer passes "auto" for bf16
+models (sample/sample.py); 0.0 (default) reproduces exact torchdiffeq
+behavior. Measured on the TPU chip (perturbed bf16 DiT-L/2, tol 1e-5):
+dopri8 NFE 4070 raw -> 422 with auto noise-flooring, at relRMS 7.8e-3 from
+the f32 ground truth (the bf16 dopri5 floor itself is 5.4e-3).
 """
 
 from __future__ import annotations
@@ -257,6 +268,7 @@ def _odeint_adaptive(
     safety: float = 0.9,
     ifactor: float = 10.0,
     dfactor: float = 0.2,
+    eval_noise: Any = 0.0,
 ) -> ODEResult:
     """torchdiffeq-style adaptive integration. For dopri5 the final value is
     the quartic dense-output interpolant evaluated at t1 from the step that
@@ -270,13 +282,35 @@ def _odeint_adaptive(
     t1 = jnp.asarray(t1, jnp.float32)
 
     f0 = func(t0, y0)
+
+    calibrate = eval_noise == "auto"
+    n_extra = 0.0
+    if calibrate:
+        # probe calibration: evaluate the field at a point displaced by
+        # d=1e-4 relative — far enough that low-precision quantization
+        # decorrelates, near enough that the true field change (~d * L) is
+        # negligible against it. The rms difference of the two evals is
+        # sqrt(2)x the per-eval noise; a 1.5x safety factor absorbs the
+        # extra decorrelation of stage points separated by a full step
+        # h >> d. Swept on the TPU chip (perturbed bf16 DiT-L/2, tol 1e-5):
+        # x1.15 -> NFE 3218, x1.5 -> NFE 422 at relRMS 7.8e-3 (bf16 floor
+        # is 5.4e-3), x2.0 -> NFE 51 at 1.4e-2; x1.5 is the accuracy/cost
+        # knee.
+        d = 1e-4
+        y_probe = _tmap(lambda l: l + d * (jnp.abs(l) + 1.0), y0)
+        f_probe = func(t0, y_probe)
+        diff2 = _rms_norm(_tmap(lambda a, b: a.astype(jnp.float32)
+                                - b.astype(jnp.float32), f_probe, f0))
+        eval_noise = 1.5 * diff2 / (jnp.sqrt(2.0) * (_rms_norm(f0) + 1e-20))
+        n_extra = 1.0
+
     dt0 = _initial_step(func, t0, y0, f0, tab.order, rtol, atol, direction) * direction
     zeros_q = _tmap(
         lambda l: jnp.zeros((4,) + jnp.shape(l), jnp.float32), y0
     ) if dense else None
     init = _AdaptiveState(
         t=t0, y=y0, f=f0, dt=dt0,
-        nfe=jnp.asarray(2.0, jnp.float32),  # f0 + the probe eval in _initial_step
+        nfe=jnp.asarray(2.0 + n_extra, jnp.float32),  # f0 + initial-step probe (+ noise probe)
         steps=jnp.asarray(0, jnp.int32),
         rejected=jnp.asarray(0, jnp.int32),
         t_prev=t0, h_prev=jnp.asarray(1.0, jnp.float32), y_prev=y0, q=zeros_q,
@@ -299,6 +333,22 @@ def _odeint_adaptive(
 
         y1, f1, err, evals, ks = _rk_step(func, tab, s.t, dt, s.y, s.f)
         ratio = _error_ratio(err, s.y, y1, rtol, atol)
+        if calibrate or (not isinstance(eval_noise, (int, float))) or eval_noise > 0.0:
+            # noise floor: per-element std of the embedded error under
+            # independent relative rounding noise of each stage eval (the
+            # correlated component cancels since sum_i b_err_i == 0);
+            # subtract it from the measured ratio in quadrature — over
+            # millions of elements the RMS concentrates, so the residual
+            # is the truncation component.
+            noise = _tmap(
+                lambda *kl: jnp.abs(dt) * eval_noise * jnp.sqrt(
+                    sum((c * c) * jnp.square(k.astype(jnp.float32))
+                        for c, k in zip(tab.b_err, kl) if c != 0.0)
+                ),
+                *ks,
+            )
+            noise_ratio = _error_ratio(noise, s.y, y1, rtol, atol)
+            ratio = jnp.sqrt(jnp.maximum(jnp.square(ratio) - jnp.square(noise_ratio), 0.0))
         accept = ratio <= 1.0
 
         # torchdiffeq's step-size update: factor = min(ifactor, max(safety/ratio^(1/order), dfactor'))
@@ -520,6 +570,7 @@ def odeint(
     step_size: Optional[float] = None,
     num_steps: Optional[int] = None,
     max_steps: int = 10_000,
+    eval_noise: Any = 0.0,
 ) -> ODEResult:
     """Integrate dy/dt = func(t, y) from t0 to t1.
 
@@ -527,9 +578,14 @@ def odeint(
     test_flow_latent.py:378-396; adaptive tol defaults 1e-5; fixed-step
     ``options={'step_size': ...}``). Sampling goes from t0=1 (noise) to
     t1=0 (data) per the flow-matching convention (train_flow_latent.py:148).
+    ``eval_noise`` is the relative evaluation noise of ``func`` used to
+    noise-floor the adaptive error estimate: a float, or ``"auto"`` to
+    calibrate it with one probe evaluation at t0 (the right setting for
+    bf16 models; see module docstring).
     """
     if method in ADAPTIVE_SOLVERS:
-        return _odeint_adaptive(func, y0, t0, t1, method, rtol, atol, max_steps)
+        return _odeint_adaptive(func, y0, t0, t1, method, rtol, atol, max_steps,
+                                eval_noise=eval_noise)
     if method in _FIXED_TABLEAUS:
         if num_steps is None:
             ss = step_size if step_size else 0.01

@@ -59,8 +59,10 @@ def sample_latents(
     num_steps: int = 40,
     step_size: float = 0.01,
     use_karras: bool = False,
+    eval_noise=0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Integrate t: 1 -> 0. Returns (z_0, nfe)."""
+    """Integrate t: 1 -> 0. Returns (z_0, nfe). ``eval_noise`` noise-floors
+    the adaptive error estimate ("auto" for bf16 models; ode/solvers.py)."""
     if use_karras:
         z = karras_sample(
             lambda x, sigma: velocity(sigma, x), x_noise, num_steps,
@@ -77,7 +79,8 @@ def sample_latents(
             nfe = pairs
         return z, jnp.asarray(float(nfe), jnp.float32)
     if method in ADAPTIVE_SOLVER:
-        res = odeint(velocity, x_noise, 1.0, 0.0, method=method, atol=atol, rtol=rtol)
+        res = odeint(velocity, x_noise, 1.0, 0.0, method=method, atol=atol,
+                     rtol=rtol, eval_noise=eval_noise)
         return res.y, res.nfe
     res = odeint(velocity, x_noise, 1.0, 0.0, method=method,
                  num_steps=num_steps, step_size=step_size)
@@ -103,6 +106,11 @@ def make_sampler(
     sc = config.sample
     num_classes = config.model.num_classes
 
+    # bf16 models carry relative rounding noise per velocity eval; let the
+    # adaptive controller calibrate and subtract it so high-order methods
+    # (dopri8) don't chase the noise floor as if it were truncation error
+    eval_noise = "auto" if getattr(model, "dtype", jnp.float32) == jnp.bfloat16 else 0.0
+
     def raw(params, vae_params, noise: jnp.ndarray, y) -> SampleOutput:
         velocity = build_velocity(model, params, y, sc.cfg_scale, num_classes)
         z0, nfe = sample_latents(
@@ -110,6 +118,7 @@ def make_sampler(
             method=sc.method, atol=sc.atol, rtol=sc.rtol,
             num_steps=sc.num_steps, step_size=sc.step_size,
             use_karras=sc.use_karras_samplers,
+            eval_noise=eval_noise,
         )
         if vae is None:
             return SampleOutput(images=z0, latents=z0, nfe=nfe)

@@ -68,6 +68,9 @@ def make_sharded_generator(
             velocity, noise, method=sc.method, atol=sc.atol, rtol=sc.rtol,
             num_steps=sc.num_steps, step_size=sc.step_size,
             use_karras=sc.use_karras_samplers,
+            eval_noise=("auto"
+                        if getattr(model, "dtype", jnp.float32) == jnp.bfloat16
+                        else 0.0),
         )
         if vae is None:
             return z0, None, nfe

@@ -190,3 +190,49 @@ def test_heun_karras_correction_guard_matches_reference():
     got40 = np.asarray(sample_heun_karras(
         lambda xx, ss: v(xx, ss), jnp.asarray(x0), jnp.asarray(sig40)))
     np.testing.assert_allclose(got40, x, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("method,eval_noise", [
+    ("dopri8", 2.0 ** -9), ("dopri8", "auto"),
+    ("dopri5", 2.0 ** -9), ("dopri5", "auto"),
+])
+def test_eval_noise_floor_rescues_noisy_fields(method, eval_noise):
+    """A bf16-rounded velocity makes high-order error estimates
+    noise-dominated: dopri8 at tol 1e-5 thrashes (hits max_steps). With
+    eval_noise=2^-9 the controller subtracts the noise floor and converges
+    with a sane NFE while staying accurate to the noise-limited level
+    (VERDICT round-1 #4)."""
+    y0 = jnp.linspace(0.5, 2.0, 64)
+
+    def noisy_field(t, y):
+        # simulate a bf16 model: exact field, output rounded to bf16
+        return (-y).astype(jnp.bfloat16).astype(jnp.float32)
+
+    exact = np.asarray(y0) * np.exp(-1.0)
+
+    res_filtered = odeint(noisy_field, y0, 0.0, 1.0, method=method,
+                          rtol=1e-5, atol=1e-5, eval_noise=eval_noise,
+                          max_steps=2000)
+    # noise-limited accuracy: bf16 rounding (eps 2^-8) bounds what ANY
+    # solver can extract from this field — accept O(eps) deviation
+    np.testing.assert_allclose(np.asarray(res_filtered.y), exact,
+                               rtol=2e-2, atol=5e-3)
+
+    res_raw = odeint(noisy_field, y0, 0.0, 1.0, method=method,
+                     rtol=1e-5, atol=1e-5, max_steps=2000)
+    if method == "dopri8":
+        # raw dopri8 chases the noise floor; filtered must be dramatically
+        # cheaper (measured on hardware: ~13k vs ~200 on a DiT field)
+        assert float(res_filtered.nfe) < float(res_raw.nfe) / 4
+        assert float(res_filtered.nfe) < 600
+    else:
+        assert float(res_filtered.nfe) <= float(res_raw.nfe)
+        assert float(res_filtered.nfe) < 400
+
+
+def test_eval_noise_zero_is_exact_torchdiffeq_behavior(y0):
+    a = odeint(_field, y0, 1.0, 0.0, method="dopri5", rtol=1e-5, atol=1e-5)
+    b = odeint(_field, y0, 1.0, 0.0, method="dopri5", rtol=1e-5, atol=1e-5,
+               eval_noise=0.0)
+    np.testing.assert_array_equal(np.asarray(a.y), np.asarray(b.y))
+    assert float(a.nfe) == float(b.nfe)
