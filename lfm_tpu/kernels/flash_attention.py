@@ -113,3 +113,99 @@ def reference_attention(q, k, v):
     s = jnp.einsum("nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32)
     p = jax.nn.softmax(s / math.sqrt(d), axis=-1).astype(q.dtype)
     return jnp.einsum("nhqk,nkhd->nqhd", p, v)
+
+
+# ---------------------------------------------------------------------------
+# Small-T fused attention (the north-star shape: DiT at 256 tokens)
+# ---------------------------------------------------------------------------
+#
+# At T<=1024 the (T, T) probs fit VMEM whole, so flash's online softmax is
+# unnecessary — but XLA's materialized attention writes the f32 probs tensor
+# to HBM (268 MB per DiT-L/2 block at batch 64) and the flash path above
+# spends more on its (N,T,H,D)->(N*H,T,D) physical transposes (~1 GB of HBM
+# traffic per block) than the fusion saves; both measured ~25-39 ms per
+# velocity eval against an ~8 ms FLOP cost. This kernel keeps the native
+# (N, T, H, D) layout — each grid cell DMAs one batch element's contiguous
+# (T, H*D) slab and loops the heads with static slices, so no transpose or
+# probs tensor ever touches HBM.
+
+
+def _attn_small_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                       heads: int, head_dim: int):
+    """refs: (1, T, H*D) slabs. Full per-head softmax attention in VMEM;
+    heads are static lane slices of the slab (Mosaic rejects squeezing a
+    middle dim of a 4D block, so the (H, D) split stays implicit)."""
+    qs, ks, vs = q_ref[0], k_ref[0], v_ref[0]
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = qs[:, sl].astype(jnp.float32) * scale  # (T, D)
+        k = ks[:, sl].astype(jnp.float32)
+        v = vs[:, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (T, T)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
+
+
+@jax.jit
+def attention_small(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """q, k, v: (N, T, H, D) -> (N, T, H, D), T <= 1024. Scale 1/sqrt(D)."""
+    n, t, h, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    qs, ks, vs = (a.reshape(n, t, h * d) for a in (q, k, v))  # free bitcast
+    spec = pl.BlockSpec((1, t, h * d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_attn_small_kernel, scale=scale, heads=h, head_dim=d),
+        grid=(n,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((n, t, h * d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * h * t * t * d,
+            bytes_accessed=4 * n * t * h * d * q.dtype.itemsize,
+            transcendentals=n * h * t * t,
+        ),
+    )(qs, ks, vs)
+    return out.reshape(n, t, h, d)
+
+
+def _dispatch_attention(q, k, v):
+    """Whole-sequence VMEM kernel for small T, flash for long T; plain XLA
+    on non-TPU backends (CPU tests run the reference path directly)."""
+    if jax.default_backend() != "tpu":
+        return reference_attention(q, k, v)
+    n, t, h, d = q.shape
+    # VMEM budget: q/k/v f32 working set ~ 3*t*h*d*4 bytes + (t, t) probs
+    if t <= 1024 and (3 * t * h * d * 4 + t * t * 4) < 96 * 1024 * 1024:
+        return attention_small(q, k, v)
+    return flash_attention(q, k, v)
+
+
+@jax.custom_vjp
+def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable fused attention: Pallas forward (no (T,T) probs or
+    layout transposes in HBM), XLA-recompute backward (the probs are cheap
+    to rebuild at these shapes — same economics as remat). Measured on v5e:
+    13.6% faster DiT-L/2 velocity eval at the north-star 256-token shape
+    (84.8 -> 73.2 ms per 100-NFE batch-64 eval, MFU 0.62 -> 0.72)."""
+    return _dispatch_attention(q, k, v)
+
+
+def _fused_attention_fwd(q, k, v):
+    return _dispatch_attention(q, k, v), (q, k, v)
+
+
+def _fused_attention_bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(reference_attention, q, k, v)
+    return vjp(g)
+
+
+fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)

@@ -166,9 +166,9 @@ class Attention(nn.Module):
         v = v.reshape(n, t, h, hd)
 
         if self.use_flash:
-            from lfm_tpu.kernels.flash_attention import flash_attention
+            from lfm_tpu.kernels.flash_attention import fused_attention
 
-            out = flash_attention(q, k, v)
+            out = fused_attention(q, k, v)
         else:
             scale = 1.0 / math.sqrt(hd)
             attn = jnp.einsum("nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32)

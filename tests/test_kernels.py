@@ -128,3 +128,42 @@ def test_groupnorm_silu_matches_reference_and_flax():
     )(x.reshape(n, h * w, c), scale.reshape(1, c), bias.reshape(1, c))
     np.testing.assert_allclose(np.asarray(got.reshape(x.shape)), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_attention_dispatch_and_grad():
+    """fused_attention: CPU falls back to the reference path; the custom
+    VJP must equal autodiff through reference_attention."""
+    from lfm_tpu.kernels.flash_attention import fused_attention, reference_attention
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 4, 32))
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 4, 32))
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 4, 32))
+
+    np.testing.assert_allclose(np.asarray(fused_attention(q, k, v)),
+                               np.asarray(reference_attention(q, k, v)),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(jnp.square(fused_attention(q, k, v)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(reference_attention(q, k, v)))
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+
+def test_attention_small_interpret_mode_parity():
+    """The small-T whole-sequence kernel itself (interpret mode) vs einsum."""
+    from lfm_tpu.kernels.flash_attention import attention_small, reference_attention
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 4, 64))
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 4, 64))
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 128, 4, 64))
+    with pltpu.force_tpu_interpret_mode():
+        got = attention_small(q, k, v)
+    want = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
