@@ -22,16 +22,16 @@ from lfm_tpu.data.transforms import maybe_flip, resize_and_crop, resize_short_si
 
 
 def _require_lmdb():
+    """The C binding when available (fastest), else the in-repo pure-Python
+    reader (data/minilmdb.py) — the read path works either way."""
     try:
         import lmdb
 
         return lmdb
-    except ImportError as e:
-        raise ImportError(
-            "LMDB datasets need the `lmdb` python binding (host-side C "
-            "library); install it or convert the data with "
-            "tools/export_lmdb_to_folder.py"
-        ) from e
+    except ImportError:
+        from lfm_tpu.data import minilmdb
+
+        return minilmdb
 
 
 class LMDBDataset:

@@ -259,3 +259,152 @@ def resnet50(num_classes=10, **kw):
 
 def resnet101(num_classes=10, **kw):
     return ResNet(_Bottleneck, (3, 4, 23, 3), num_classes, **kw)
+
+
+class GaussianFourierProjection(nn.Module):
+    """Fixed random Fourier features (reference unet_upsampler.py:62-64 via
+    score_sde's GaussianFourierProjection): W ~ N(0, scale^2), frozen;
+    out = [sin(2*pi*x*W), cos(2*pi*x*W)]."""
+
+    embedding_size: int = 128
+    scale: float = 16.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param(
+            "W", lambda k, s: jax.random.normal(k, s) * self.scale,
+            (self.embedding_size,),
+        )
+        xp = x[:, None] * w[None, :] * 2.0 * jnp.pi
+        return jnp.concatenate([jnp.sin(xp), jnp.cos(xp)], axis=-1)
+
+
+class UNetUpsamplerModel(nn.Module):
+    """Super-resolution UNet (reference unet_upsampler.py:1-241). Dead code
+    in the reference — its imports (utils.util, score_sde_pytorch) do not
+    even exist in the repo — ported for component completeness. Differences
+    from UNetModel: Gaussian-Fourier time/augmentation embeddings over
+    log(t)/log(aug_level), a low-res conditioning signal bilinearly resized
+    to the model resolution and channel-concatenated with x (the
+    undefined `get_resize_fn` is implemented as bilinear resize), and a
+    (velocity, trunk features, embedding) triple return
+    (unet_upsampler.py:210-241)."""
+
+    image_size: int = 64
+    in_channels: int = 6  # x channels + resized conditioning channels
+    model_channels: int = 128
+    out_channels: int = 3
+    num_res_blocks: int = 2
+    attention_resolutions: Tuple[int, ...] = (16, 8)
+    dropout: float = 0.0
+    channel_mult: Tuple[int, ...] = (1, 2, 4, 8)
+    conv_resample: bool = True
+    num_classes: Any = None
+    num_heads: int = 1
+    num_head_channels: int = -1
+    num_heads_upsample: int = -1
+    use_scale_shift_norm: bool = False
+    resblock_updown: bool = False
+    use_new_attention_order: bool = False
+    fourier_scale: float = 16.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t, x, y=None, context=None, train: bool = False):
+        from lfm_tpu.nn.adm_unet import ADMUpsample
+
+        assert context is not None, "context = (cond_signal, aug_level)"
+        cond_signal, aug_level = context
+        n = x.shape[0]
+        t = jnp.broadcast_to(jnp.asarray(t, jnp.float32).reshape(-1), (n,))
+        aug_level = jnp.broadcast_to(
+            jnp.asarray(aug_level, jnp.float32).reshape(-1), (n,))
+
+        mc = self.model_channels
+        ted = mc * 4
+        # aug_gfp / time_embed pipeline (unet_upsampler.py:62-69,216-226):
+        # GFP(log t) -> cat GFP(log aug) -> Linear -> SiLU -> Linear
+        aug_emb = GaussianFourierProjection(mc, self.fourier_scale,
+                                            name="aug_gfp")(jnp.log(aug_level))
+        emb = GaussianFourierProjection(mc, self.fourier_scale,
+                                        name="time_gfp")(jnp.log(t))
+        emb = jnp.concatenate([emb, aug_emb], axis=-1).astype(self.dtype)
+        emb = nn.Dense(ted, dtype=self.dtype, name="time_embed_1")(emb)
+        emb = nn.Dense(ted, dtype=self.dtype, name="time_embed_2")(nn.silu(emb))
+
+        if self.num_classes is not None:
+            assert y is not None
+            table = self.param("label_emb", nn.initializers.normal(1.0),
+                               (self.num_classes, ted))
+            emb = emb + table[y].astype(self.dtype)
+
+        # concat the bilinearly-upsampled conditioning (unet_upsampler.py:228)
+        cond = jax.image.resize(
+            cond_signal,
+            (n, self.image_size, self.image_size, cond_signal.shape[-1]),
+            method="bilinear",
+        )
+        h = jnp.concatenate([x, cond], axis=-1).astype(self.dtype)
+        assert h.shape[-1] == self.in_channels, (
+            f"x + resized cond channels = {h.shape[-1]}, expected "
+            f"in_channels={self.in_channels}")
+
+        plan = build_unet_plan(mc, self.channel_mult, self.num_res_blocks,
+                               self.attention_resolutions, self.in_channels,
+                               self.resblock_updown)
+
+        def res(spec, name):
+            return ADMResBlock(spec.out_ch, self.dropout,
+                               self.use_scale_shift_norm, dtype=self.dtype,
+                               name=name)
+
+        def attn(name, upsample=False):
+            heads = self.num_heads_upsample if (
+                upsample and self.num_heads_upsample != -1) else self.num_heads
+            return ADMAttentionBlock(
+                heads, self.num_head_channels,
+                legacy_order=not self.use_new_attention_order,
+                dtype=self.dtype, name=name)
+
+        def apply_spec(h, spec, name, upsample=False):
+            if spec.kind == "conv_in":
+                return nn.Conv(spec.out_ch, (3, 3), padding=1, dtype=self.dtype,
+                               name=name)(h)
+            if spec.kind == "res":
+                return res(spec, name)(h, emb, train)
+            if spec.kind == "attn":
+                return attn(name, upsample)(h)
+            if spec.kind == "res_down":
+                return ADMResBlock(spec.out_ch, self.dropout,
+                                   self.use_scale_shift_norm, down=True,
+                                   dtype=self.dtype, name=name)(h, emb, train)
+            if spec.kind == "res_up":
+                return ADMResBlock(spec.out_ch, self.dropout,
+                                   self.use_scale_shift_norm, up=True,
+                                   dtype=self.dtype, name=name)(h, emb, train)
+            if spec.kind == "down":
+                return ADMDownsample(spec.out_ch, self.conv_resample,
+                                     dtype=self.dtype, name=name)(h)
+            if spec.kind == "up":
+                return ADMUpsample(spec.out_ch, self.conv_resample,
+                                   dtype=self.dtype, name=name)(h)
+            raise ValueError(spec.kind)
+
+        hs = []
+        for i, block in enumerate(plan.input_blocks):
+            for j, spec in enumerate(block):
+                h = apply_spec(h, spec, f"input_{i}_{j}")
+            hs.append(h)
+        for j, spec in enumerate(plan.middle_block):
+            h = apply_spec(h, spec, f"middle_{j}")
+        for i, block in enumerate(plan.output_blocks):
+            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            for j, spec in enumerate(block):
+                h = apply_spec(h, spec, f"output_{i}_{j}", upsample=True)
+
+        out = GroupNorm32(name="out_norm")(h)
+        out = nn.silu(out)
+        out = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                      kernel_init=_zeros, bias_init=_zeros, name="out_conv")(out)
+        # triple return mirrors unet_upsampler.py:241
+        return out.astype(jnp.float32), h, emb

@@ -19,11 +19,12 @@ import numpy as np
 
 from lfm_tpu.core import checkpoint as ckpt
 from lfm_tpu.core.config import Config
+from lfm_tpu.core.preemption import PreemptionGuard
 from lfm_tpu.core.sharding import make_mesh, replicated, shard_batch
 from lfm_tpu.data import DataLoader, get_dataset
 from lfm_tpu.nn.factory import create_network
 from lfm_tpu.train.state import TrainState, create_train_state, make_optimizer
-from lfm_tpu.train.train import make_train_step
+from lfm_tpu.train.train import jit_train_step, make_train_step
 
 
 def save_image_grid(images: np.ndarray, path: str, nrow: int = 8) -> None:
@@ -89,7 +90,7 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
         is_latent_data=is_latent, label_dropout=label_dropout,
     )
     repl = replicated(mesh)
-    jstep = jax.jit(step_fn, donate_argnums=(0,))
+    jstep = jit_train_step(step_fn, mesh)
     state = jax.device_put(state, repl)
 
     exp_path = config.exp_path
@@ -115,31 +116,39 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
     global_step = int(state.step)
     log_steps, t_start = 0, time.time()
 
-    for epoch in range(init_epoch, tc.num_epoch + 1):
-        loader.set_epoch(epoch)
-        for it, batch in enumerate(loader):
-            if not use_label:
-                batch.pop("y", None)
-            batch = shard_batch(mesh, batch)
-            state, metrics = jstep(state, batch, base_key)
-            global_step += 1
-            log_steps += 1
-            if it % 100 == 0:
-                dt = time.time() - t_start
-                sps = log_steps / dt if dt > 0 else 0.0
-                log_fn(f"epoch {epoch} iteration{it}, Loss: {float(metrics.loss)}, "
-                       f"Train Steps/Sec: {sps:.2f}")
-                log_steps, t_start = 0, time.time()
-            if max_steps is not None and global_step >= max_steps:
-                return state
+    with PreemptionGuard() as guard:
+        for epoch in range(init_epoch, tc.num_epoch + 1):
+            loader.set_epoch(epoch)
+            for it, batch in enumerate(loader):
+                if not use_label:
+                    batch.pop("y", None)
+                batch = shard_batch(mesh, batch)
+                state, metrics = jstep(state, batch, base_key)
+                global_step += 1
+                log_steps += 1
+                if it % 100 == 0:
+                    dt = time.time() - t_start
+                    sps = log_steps / dt if dt > 0 else 0.0
+                    log_fn(f"epoch {epoch} iteration{it}, Loss: {float(metrics.loss)}, "
+                           f"Train Steps/Sec: {sps:.2f}")
+                    log_steps, t_start = 0, time.time()
+                if guard.preempted:
+                    # TPU preemption (SIGTERM): flush a content checkpoint at
+                    # the CURRENT epoch (it re-runs on resume) and exit clean
+                    ckpt.save_content(exp_path, state, epoch, config)
+                    log_fn(f"=> preemption signal: content checkpoint saved "
+                           f"at epoch {epoch} (step {global_step})")
+                    return state
+                if max_steps is not None and global_step >= max_steps:
+                    return state
 
-        if epoch % tc.plot_every == 0 and vae is not None:
-            _demo_plot(config, model, state, vae, vae_params, exp_path, epoch)
-        if tc.save_content and epoch % tc.save_content_every == 0:
-            ckpt.save_content(exp_path, state, epoch + 1, config)
-        if epoch % tc.save_ckpt_every == 0:
-            ckpt.save_model(exp_path, state.ema_params if tc.use_ema else state.params,
-                            epoch)
+            if epoch % tc.plot_every == 0 and vae is not None:
+                _demo_plot(config, model, state, vae, vae_params, exp_path, epoch)
+            if tc.save_content and epoch % tc.save_content_every == 0:
+                ckpt.save_content(exp_path, state, epoch + 1, config)
+            if epoch % tc.save_ckpt_every == 0:
+                ckpt.save_model(exp_path, state.ema_params if tc.use_ema else state.params,
+                                epoch)
     return state
 
 

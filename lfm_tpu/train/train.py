@@ -80,16 +80,15 @@ def make_train_step(
 
 
 def jit_train_step(train_step, mesh: Mesh):
-    """jit with explicit shardings: state replicated, batch data-sharded."""
+    """jit with explicit shardings: state replicated (dp) and outputs pinned
+    replicated; the batch sharding is TAKEN FROM THE ARGUMENTS
+    (in_shardings=None for the batch), so callers place batches themselves
+    with ``core.sharding.shard_batch`` — which is what induces the gradient
+    psum over the data axis. Used by train/loop.py."""
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(DATA_AXIS))
-
-    def shard_like_batch(batch_tree):
-        return jax.tree_util.tree_map(lambda _: data, batch_tree)
-
     return jax.jit(
         train_step,
-        in_shardings=(repl, None, repl),  # batch sharding set per-arg at call
+        in_shardings=(repl, None, repl),  # batch sharding comes from shard_batch
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )

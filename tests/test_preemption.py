@@ -1,0 +1,69 @@
+"""Preemption-aware checkpointing (SURVEY.md §5 failure-detection row,
+VERDICT round-1 #8): SIGTERM mid-training flushes a content checkpoint and
+exits cleanly; a fresh run resumes from it."""
+
+import os
+import signal
+
+import numpy as np
+import pytest
+
+from lfm_tpu.core.config import Config, ModelConfig, TrainConfig
+from lfm_tpu.core.preemption import PreemptionGuard
+
+
+class TinyLatents:
+    num_classes = 1
+
+    def __len__(self):
+        return 32
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(i)
+        return rng.normal(size=(8, 8, 4)).astype(np.float32), 0
+
+
+def test_guard_flag_and_handler_restoration():
+    prev = signal.getsignal(signal.SIGTERM)
+    with PreemptionGuard() as guard:
+        assert not guard.preempted
+        os.kill(os.getpid(), signal.SIGTERM)  # caught by the guard
+        assert guard.preempted
+    assert signal.getsignal(signal.SIGTERM) is prev  # restored on exit
+
+
+def test_sigterm_saves_content_and_resumes(tmp_path, mesh8):
+    from lfm_tpu.core import checkpoint as ckpt
+    from lfm_tpu.train.loop import train
+
+    config = Config(
+        exp="preempt",
+        dataset="synthetic_latent",
+        output_dir=str(tmp_path),
+        model=ModelConfig(model_type="DiT-S/2", image_size=64, num_classes=1),
+        train=TrainConfig(batch_size=16, num_epoch=5, lr=1e-3, no_lr_decay=True,
+                          use_ema=True, save_content=False, save_ckpt_every=100,
+                          plot_every=100, precision="f32"),
+    )
+
+    # deliver the signal from inside the loop: the first log line fires at
+    # iteration 0, i.e. while training is underway — exactly the async
+    # arrival point of a real TPU preemption notice
+    def log_and_preempt(msg):
+        if "iteration0" in str(msg):
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    state = train(config, dataset=TinyLatents(), mesh=mesh8, log_fn=log_and_preempt)
+    # the epoch has 2 steps; preemption lands after step 1 -> early return
+    assert int(state.step) == 1
+    exp = config.exp_path
+    assert ckpt.has_content(exp)  # content flushed despite save_content=False
+
+    # a fresh run resumes from the preemption checkpoint (epoch 0 re-runs)
+    import dataclasses
+
+    config2 = dataclasses.replace(
+        config, train=dataclasses.replace(config.train, num_epoch=0, resume=True)
+    )
+    state2 = train(config2, dataset=TinyLatents(), mesh=mesh8, log_fn=lambda *a: None)
+    assert int(state2.step) == 3  # 1 (resumed) + 2 (epoch 0 re-run)

@@ -150,3 +150,47 @@ def test_encoder_unet_parity_vs_reference():
     got = mine.apply({"params": params}, jnp.asarray(t),
                      jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-5)
+
+
+def test_unet_upsampler_construct_and_forward():
+    """UNetUpsamplerModel (reference unet_upsampler.py:1-241, dead code in
+    the reference): construct + forward, triple return, GFP embeddings."""
+    from lfm_tpu.nn.variants import GaussianFourierProjection, UNetUpsamplerModel
+
+    model = UNetUpsamplerModel(
+        image_size=16, in_channels=6, model_channels=32, out_channels=3,
+        num_res_blocks=1, attention_resolutions=(8,), channel_mult=(1, 2),
+        num_heads=2,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    cond = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 3))  # low-res
+    t = jnp.array([0.3, 0.9])
+    aug = jnp.array([0.5, 0.5])
+    params = model.init(jax.random.PRNGKey(2), t, x, None, (cond, aug))
+    out, trunk, emb = model.apply(params, t, x, None, (cond, aug))
+    assert out.shape == (2, 16, 16, 3)
+    assert trunk.shape == (2, 16, 16, 32)
+    assert emb.shape == (2, 128)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # zero-init output head -> identically zero output at init
+    assert float(jnp.abs(out).max()) == 0.0
+
+    # class-conditional variant
+    model_c = UNetUpsamplerModel(
+        image_size=16, in_channels=6, model_channels=32, out_channels=3,
+        num_res_blocks=1, attention_resolutions=(8,), channel_mult=(1, 2),
+        num_heads=2, num_classes=5,
+    )
+    y = jnp.array([0, 4])
+    params_c = model_c.init(jax.random.PRNGKey(3), t, x, y, (cond, aug))
+    out_c, _, _ = model_c.apply(params_c, t, x, y, (cond, aug))
+    assert out_c.shape == (2, 16, 16, 3)
+
+    # GFP: frozen W, sin/cos layout
+    gfp = GaussianFourierProjection(8, scale=16.0)
+    p = gfp.init(jax.random.PRNGKey(4), jnp.array([1.0]))
+    e = gfp.apply(p, jnp.array([1.0]))
+    assert e.shape == (1, 16)
+    w = np.asarray(p["params"]["W"])
+    np.testing.assert_allclose(np.asarray(e[0, :8]), np.sin(2 * np.pi * w),
+                               rtol=2e-5, atol=2e-5)
