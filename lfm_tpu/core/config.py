@@ -103,6 +103,9 @@ class TrainConfig:
     use_ema: bool = False
     ema_decay: float = 0.9999
     use_grad_checkpointing: bool = False
+    # selective remat: None = full-block recompute (torch.utils.checkpoint
+    # semantics); "dots" = save Dense outputs, recompute elementwise+attention
+    remat_policy: Optional[str] = None
     save_content: bool = False
     save_content_every: int = 10
     save_ckpt_every: int = 25

@@ -33,6 +33,23 @@ from lfm_tpu.nn.layers import (
 
 Dtype = Any
 
+# remat_policy values -> jax.checkpoint_policies. None (default) recomputes
+# the whole block in backward (min memory, max recompute — matches
+# torch.utils.checkpoint, models/DiT.py:265-269); "dots" saves every Dense
+# output and recomputes only elementwise ops + the Pallas attention kernel
+# (whose own residuals are the saved qkv) — ~1 fewer forward worth of
+# recompute per step for ~150 MB/block of bf16 activations at bs32.
+REMAT_POLICIES = {
+    None: None,
+    "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    "all_dots": jax.checkpoint_policies.dots_saveable,
+}
+
+
+def _remat(cls, policy_name):
+    return nn.remat(cls, prevent_cse=False, policy=REMAT_POLICIES[policy_name])
+
+
 # depth, hidden_size, patch_size, num_heads (models/DiT.py:354-415)
 DIT_CONFIGS = {
     "DiT-XL/2": (28, 1152, 2, 16),
@@ -47,6 +64,9 @@ DIT_CONFIGS = {
     "DiT-S/2": (12, 384, 2, 6),
     "DiT-S/4": (12, 384, 4, 6),
     "DiT-S/8": (12, 384, 8, 6),
+    # lfm-tpu extension (not in the reference table): test-scale config so
+    # end-to-end loop/sharding tests stay cheap on a virtual CPU mesh.
+    "DiT-T/2": (2, 64, 2, 4),
 }
 
 _zeros = nn.initializers.zeros
@@ -96,10 +116,11 @@ class _ScanBlock(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     remat: bool = False
+    remat_policy: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray):
-        cls = nn.remat(DiTBlock, prevent_cse=False) if self.remat else DiTBlock
+        cls = _remat(DiTBlock, self.remat_policy) if self.remat else DiTBlock
         x = cls(self.hidden_size, self.num_heads, self.mlp_ratio,
                 dtype=self.dtype, use_flash=self.use_flash, name="block")(x, c)
         return x, None
@@ -147,6 +168,7 @@ class DiT(nn.Module):
     use_flash: bool = False
     scan_blocks: bool = True
     remat: bool = False
+    remat_policy: Optional[str] = None
 
     @property
     def out_channels(self) -> int:
@@ -195,10 +217,11 @@ class DiT(nn.Module):
             x, _ = ScannedBlocks(
                 self.hidden_size, self.num_heads, self.mlp_ratio,
                 dtype=self.dtype, use_flash=self.use_flash, remat=self.remat,
-                name="blocks",
+                remat_policy=self.remat_policy, name="blocks",
             )(x, c)
         else:
-            block_cls = nn.remat(DiTBlock, prevent_cse=False) if self.remat else DiTBlock
+            block_cls = (_remat(DiTBlock, self.remat_policy) if self.remat
+                         else DiTBlock)
             for i in range(self.depth):
                 x = block_cls(self.hidden_size, self.num_heads, self.mlp_ratio,
                               dtype=self.dtype, use_flash=self.use_flash,
@@ -237,7 +260,8 @@ class DiT(nn.Module):
 def create_dit(model_type: str, *, img_resolution: int, in_channels: int = 4,
                label_dropout: float = 0.0, num_classes: Optional[int] = None,
                dtype: Dtype = jnp.float32, use_flash: bool = False,
-               remat: bool = False, scan_blocks: bool = True) -> DiT:
+               remat: bool = False, remat_policy: Optional[str] = None,
+               scan_blocks: bool = True) -> DiT:
     """Factory matching the reference dispatch (models/__init__.py:12-17)."""
     depth, hidden, patch, heads = DIT_CONFIGS[model_type]
     return DiT(
@@ -252,5 +276,6 @@ def create_dit(model_type: str, *, img_resolution: int, in_channels: int = 4,
         dtype=dtype,
         use_flash=use_flash,
         remat=remat,
+        remat_policy=remat_policy,
         scan_blocks=scan_blocks,
     )

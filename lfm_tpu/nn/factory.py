@@ -9,7 +9,7 @@ from lfm_tpu.nn.dit import create_dit
 
 
 def create_network(cfg: ModelConfig, *, dtype=jnp.float32, use_flash: bool = False,
-                   remat: bool = False, scan_blocks: bool = True):
+                   remat: bool = False, remat_policy=None, scan_blocks: bool = True):
     """Dispatch: use_origin_adm -> ADM UNet; DiT-* -> DiT; else EDM nets."""
     if cfg.use_origin_adm:
         from lfm_tpu.nn.adm_unet import create_adm_unet
@@ -25,6 +25,7 @@ def create_network(cfg: ModelConfig, *, dtype=jnp.float32, use_flash: bool = Fal
             dtype=dtype,
             use_flash=use_flash,
             remat=remat,
+            remat_policy=remat_policy,
             scan_blocks=scan_blocks,
         )
     from lfm_tpu.nn.edm_unet import create_edm_network

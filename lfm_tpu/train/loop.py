@@ -61,6 +61,7 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
     dtype = jnp.bfloat16 if tc.precision == "bf16" else jnp.float32
 
     model = create_network(config.model, dtype=dtype, remat=tc.use_grad_checkpointing,
+                           remat_policy=tc.remat_policy,
                            use_flash=config.model.use_flash_attention)
     key = jax.random.PRNGKey(tc.seed)
     s = config.model.latent_size

@@ -18,7 +18,7 @@ def test_train_loop_end_to_end(tmp_path, mesh8):
         exp="smoke",
         dataset="synthetic_latent",
         output_dir=str(tmp_path),
-        model=ModelConfig(model_type="DiT-S/2", image_size=64, num_classes=1),
+        model=ModelConfig(model_type="DiT-T/2", image_size=64, num_classes=1),
         train=TrainConfig(batch_size=16, num_epoch=0, lr=1e-3, no_lr_decay=True,
                           use_ema=True, save_content=True, save_content_every=1,
                           save_ckpt_every=1, plot_every=100, precision="f32"),
@@ -57,7 +57,7 @@ def test_cli_sample_smoke(tmp_path, monkeypatch):
     from lfm_tpu.cli.main import main
 
     main([
-        "sample", "--dataset", "synthetic", "--model_type", "DiT-S/8",
+        "sample", "--dataset", "synthetic", "--model_type", "DiT-T/2",
         "--image_size", "64", "--num_classes", "1",
         "--method", "euler", "--steps", "2", "--batch_size", "4",
     ])
@@ -93,7 +93,7 @@ def test_cli_fid_smoke(tmp_path, monkeypatch):
     save_statistics("stats.npy", acts.mean(0), np.cov(acts, rowvar=False))
 
     main([
-        "fid", "--dataset", "synthetic", "--model_type", "DiT-S/8",
+        "fid", "--dataset", "synthetic", "--model_type", "DiT-T/2",
         "--image_size", "64", "--num_classes", "1",
         "--method", "euler", "--steps", "2", "--batch_size", "8",
         "--n_sample", "16", "--real_img_dir", "stats.npy",

@@ -138,3 +138,24 @@ def test_bf16_policy():
     # params stay f32
     leaves = jax.tree_util.tree_leaves(params)
     assert all(l.dtype == jnp.float32 for l in leaves)
+
+
+def test_remat_policy_gradient_parity():
+    """remat with the "dots" selective policy must give the same loss and
+    gradients as full-block remat (policy only changes what is saved)."""
+    def grads(policy):
+        model = DiT(img_resolution=8, patch_size=2, hidden_size=64, depth=2,
+                    num_heads=4, num_classes=1, remat=True, remat_policy=policy)
+        params, t, x, _ = _init(model)
+
+        def loss(p):
+            return jnp.mean(jnp.square(model.apply(p, t, x) - x))
+
+        return jax.grad(loss)(params)
+
+    g_full = grads(None)
+    g_dots = grads("dots")
+    for a, b in zip(jax.tree_util.tree_leaves(g_full),
+                    jax.tree_util.tree_leaves(g_dots)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -155,6 +155,25 @@ def test_fused_attention_dispatch_and_grad():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
 
 
+def test_attention_small_bwd_interpret_mode_parity():
+    """Pallas backward kernel (interpret mode) vs autodiff through the
+    einsum reference — dq, dk, dv all match."""
+    from lfm_tpu.kernels.flash_attention import attention_small_bwd, reference_attention
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 4, 64))
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 4, 64))
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 128, 4, 64))
+    do = jax.random.normal(jax.random.PRNGKey(3), (2, 128, 4, 64))
+
+    _, vjp = jax.vjp(reference_attention, q, k, v)
+    want = vjp(do)
+    with pltpu.force_tpu_interpret_mode():
+        got = attention_small_bwd(q, k, v, do)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
 def test_attention_small_interpret_mode_parity():
     """The small-T whole-sequence kernel itself (interpret mode) vs einsum."""
     from lfm_tpu.kernels.flash_attention import attention_small, reference_attention

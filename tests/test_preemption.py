@@ -40,7 +40,7 @@ def test_sigterm_saves_content_and_resumes(tmp_path, mesh8):
         exp="preempt",
         dataset="synthetic_latent",
         output_dir=str(tmp_path),
-        model=ModelConfig(model_type="DiT-S/2", image_size=64, num_classes=1),
+        model=ModelConfig(model_type="DiT-T/2", image_size=64, num_classes=1),
         train=TrainConfig(batch_size=16, num_epoch=5, lr=1e-3, no_lr_decay=True,
                           use_ema=True, save_content=False, save_ckpt_every=100,
                           plot_every=100, precision="f32"),
