@@ -127,7 +127,8 @@ def bench_training():
     from lfm_tpu.train.train import make_train_step
 
     model = create_dit("DiT-L/2", img_resolution=32, num_classes=1,
-                       dtype=jnp.bfloat16, remat=True, use_flash=True)
+                       dtype=jnp.bfloat16, remat=True, remat_policy="dots",
+                       use_flash=True)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1,)),
                         jnp.zeros((1, 32, 32, 4)), None)
     cfg = TrainConfig(lr=1e-4, no_lr_decay=True, use_ema=True)
@@ -168,7 +169,7 @@ def main():
         "train_steps_per_sec": round(train_sps, 3),
         "train_samples_per_sec": round(train_samples, 2),
         "train_mfu": round(train_mfu, 4),
-        "train_config": "DiT-L/2 latent bs32 remat bf16 AdamW+EMA",
+        "train_config": "DiT-L/2 latent bs32 remat(dots) bf16 AdamW+EMA",
     }
     print(json.dumps({
         "metric": "celeb256_dit_samples_per_sec_per_chip",
