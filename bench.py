@@ -46,6 +46,7 @@ V5E_BF16_PEAK_FLOPS = 197e12
 NFE = 100
 BATCH = 64
 TRAIN_BATCH = 32
+TRAIN_CHAIN = 8
 WARMUP = 1
 REPS = 3
 
@@ -119,11 +120,16 @@ def bench_sampling():
 
 
 def bench_training():
-    """One fused train step: FM loss + backward + AdamW + EMA on latent data
-    (DiT-L/2, remat on, bf16) — reference train_flow_latent.py:135-170."""
+    """Sustained train-step time: FM loss + backward + one-pass fused
+    AdamW/EMA on latent data (DiT-L/2, remat(dots), bf16) — reference
+    train_flow_latent.py:135-170. Steps are chained with a single scalar
+    sync at the end (CHAIN steps per timing), matching how the real loop
+    dispatches; a per-step sync would add the ~25 ms tunnel round-trip,
+    which is measurement overhead, not device time."""
     from lfm_tpu.core.config import TrainConfig
     from lfm_tpu.nn.dit import create_dit
-    from lfm_tpu.train.state import create_train_state, make_optimizer
+    from lfm_tpu.train.state import (create_train_state, make_fused_adamw_ema,
+                                     make_optimizer)
     from lfm_tpu.train.train import make_train_step
 
     model = create_dit("DiT-L/2", img_resolution=32, num_classes=1,
@@ -138,7 +144,10 @@ def bench_training():
     def model_apply(p, t, z, y, rngs=None):
         return model.apply(p, t, z, y)
 
-    step = make_train_step(model_apply, tx, use_ema=True, is_latent_data=True)
+    step = make_train_step(
+        model_apply, tx, use_ema=True, is_latent_data=True,
+        fused_update=make_fused_adamw_ema(cfg, steps_per_epoch=100),
+    )
     jstep = jax.jit(step, donate_argnums=(0,))
 
     batch = {"x": jax.random.normal(jax.random.PRNGKey(4),
@@ -151,9 +160,10 @@ def bench_training():
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        state, m = jstep(state, batch, key)
-        _ = float(m.loss)  # scalar sync
-        times.append(time.perf_counter() - t0)
+        for _ in range(TRAIN_CHAIN):
+            state, m = jstep(state, batch, key)
+        _ = float(m.loss)  # scalar sync once per chain
+        times.append((time.perf_counter() - t0) / TRAIN_CHAIN)
     best = min(times)
     # model-FLOPs MFU convention: train = 3x forward (remat recompute and
     # the optimizer/EMA elementwise pass are excluded)

@@ -23,7 +23,10 @@ from lfm_tpu.core.preemption import PreemptionGuard
 from lfm_tpu.core.sharding import make_mesh, replicated, shard_batch
 from lfm_tpu.data import DataLoader, get_dataset
 from lfm_tpu.nn.factory import create_network
-from lfm_tpu.train.state import TrainState, create_train_state, make_optimizer
+from lfm_tpu.train.state import (
+    TrainState, create_train_state, fused_supported, make_fused_adamw_ema,
+    make_optimizer,
+)
 from lfm_tpu.train.train import jit_train_step, make_train_step
 
 
@@ -85,10 +88,14 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
     def model_apply(p, t, z, y, rngs=None):
         return model.apply(p, t, z, y, train=True, rngs=rngs)
 
+    fused = (make_fused_adamw_ema(tc, steps_per_epoch, ema_decay=tc.ema_decay,
+                                  use_ema=tc.use_ema)
+             if fused_supported(state.opt_state) else None)
     step_fn = make_train_step(
         model_apply, tx, ema_decay=tc.ema_decay, use_ema=tc.use_ema,
         encode_fn=encode_fn, scale_factor=config.scale_factor,
         is_latent_data=is_latent, label_dropout=label_dropout,
+        fused_update=fused,
     )
     repl = replicated(mesh)
     jstep = jit_train_step(step_fn, mesh)

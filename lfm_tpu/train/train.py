@@ -38,10 +38,16 @@ def make_train_step(
     scale_factor: float = 0.18215,
     is_latent_data: bool = False,
     label_dropout: bool = False,
+    fused_update: Optional[Callable] = None,
 ):
     """Build the jittable train step.
 
     batch = {"x": images NHWC in [-1,1] (or pre-encoded latents), "y": labels or None}
+
+    ``fused_update`` (from ``state.make_fused_adamw_ema``) replaces the
+    generic ``tx.update`` + ``apply_updates`` + ``ema_update`` + grad-norm
+    sequence with a single-HBM-pass kernel per tensor; state layout and math
+    are identical, only the schedule of reads/writes changes.
     """
 
     def loss_fn(params, z0, y, key):
@@ -63,14 +69,23 @@ def make_train_step(
             z0 = encode_fn(x, k_enc) * scale_factor
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params, z0, y, k_loss)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
-        ema = (
-            ema_update(state.ema_params, params, ema_decay) if use_ema else params
-        )
-        gnorm = jnp.sqrt(
-            sum(jnp.sum(jnp.square(g)) for g in jax.tree_util.tree_leaves(grads))
-        )
+        if fused_update is not None:
+            params, opt_state, ema, gnorm = fused_update(
+                state.opt_state, state.params, grads, state.ema_params
+            )
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state.params, updates
+            )
+            ema = (
+                ema_update(state.ema_params, params, ema_decay)
+                if use_ema else params
+            )
+            gnorm = jnp.sqrt(
+                sum(jnp.sum(jnp.square(g))
+                    for g in jax.tree_util.tree_leaves(grads))
+            )
         new_state = TrainState(
             step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema
         )

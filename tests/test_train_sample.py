@@ -11,7 +11,9 @@ from lfm_tpu.core.rng import SampleRNG
 from lfm_tpu.core.sharding import replicated, shard_batch
 from lfm_tpu.nn.dit import DiT
 from lfm_tpu.sample.sample import make_sampler, noise_and_labels
-from lfm_tpu.train.state import create_train_state, make_optimizer
+from lfm_tpu.train.state import (
+    create_train_state, fused_supported, make_fused_adamw_ema, make_optimizer,
+)
 from lfm_tpu.train.train import make_train_step
 
 
@@ -120,6 +122,78 @@ def test_train_step_on_mesh(mesh8, trained):
         jax.random.PRNGKey(0),
     )
     np.testing.assert_allclose(float(m.loss), float(m1.loss), rtol=1e-5)
+
+
+@pytest.mark.parametrize("wd,lr_decay", [(0.0, False), (0.01, True)])
+def test_fused_adamw_matches_optax(wd, lr_decay):
+    """The fused one-pass AdamW+EMA update must reproduce the optax chain
+    exactly (params, Adam moments, counts, EMA, grad norm) over several
+    steps, with and without weight decay / cosine LR schedule."""
+    model = _tiny_model()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1,)),
+                        jnp.zeros((1, 8, 8, 4)), None)
+    cfg = TrainConfig(lr=3e-3, no_lr_decay=not lr_decay, num_epoch=4,
+                      weight_decay=wd, use_ema=True, ema_decay=0.9)
+    tx = make_optimizer(cfg, steps_per_epoch=2)
+
+    def model_apply(p, t, z, y, rngs=None):
+        return model.apply(p, t, z, y)
+
+    def run(fused):
+        state = create_train_state(params, cfg, steps_per_epoch=2)
+        assert fused_supported(state.opt_state)
+        step = make_train_step(
+            model_apply, tx, ema_decay=cfg.ema_decay, use_ema=True,
+            scale_factor=1.0,
+            fused_update=make_fused_adamw_ema(
+                cfg, 2, ema_decay=cfg.ema_decay) if fused else None,
+        )
+        step = jax.jit(step)
+        metrics = []
+        for i in range(5):
+            z0 = 1.0 + 0.5 * jax.random.normal(jax.random.PRNGKey(i), (8, 8, 8, 4))
+            state, m = step(state, {"x": z0, "y": None}, jax.random.PRNGKey(1))
+            metrics.append((float(m.loss), float(m.grad_norm)))
+        return state, metrics
+
+    # (a) the update math itself, eager on identical grads: ulp-level match
+    from lfm_tpu.train.state import ema_update
+    import optax
+
+    state = create_train_state(params, cfg, steps_per_epoch=2)
+    grads = jax.tree_util.tree_map(
+        lambda p: 1e-3 * jax.random.normal(jax.random.PRNGKey(9), p.shape), params)
+    fused = make_fused_adamw_ema(cfg, 2, ema_decay=cfg.ema_decay)
+    up, opt_ref = tx.update(grads, state.opt_state, state.params)
+    p_ref = optax.apply_updates(state.params, up)
+    e_ref = ema_update(state.ema_params, p_ref, cfg.ema_decay)
+    p_fus, opt_fus, e_fus, _ = fused(state.opt_state, state.params, grads,
+                                     state.ema_params)
+    for name, a, b in [("params", p_fus, p_ref), ("opt", opt_fus, opt_ref),
+                       ("ema", e_fus, e_ref)]:
+        for x, y in zip(jax.tree_util.tree_leaves(a),
+                        jax.tree_util.tree_leaves(b)):
+            np.testing.assert_allclose(np.asarray(x, np.float64),
+                                       np.asarray(y, np.float64),
+                                       rtol=1e-6, atol=1e-9, err_msg=name)
+    assert (jax.tree_util.tree_structure(opt_fus)
+            == jax.tree_util.tree_structure(opt_ref))
+
+    # (b) end-to-end jitted train steps: fusion reorders the backward's float
+    # reductions, so trajectories drift at ulp scale and Adam's normalization
+    # amplifies it — tolerance reflects benign noise, not looser math
+    s_ref, m_ref = run(fused=False)
+    s_fus, m_fus = run(fused=True)
+    np.testing.assert_allclose(m_fus, m_ref, rtol=1e-5)
+    for name, a, b in [("params", s_fus.params, s_ref.params),
+                       ("opt", s_fus.opt_state, s_ref.opt_state),
+                       ("ema", s_fus.ema_params, s_ref.ema_params)]:
+        la, lb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+        assert len(la) == len(lb), name
+        for x, y in zip(la, lb):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-3, atol=5e-6, err_msg=name)
+    assert int(s_fus.step) == 5
 
 
 def test_noise_and_labels_conditional():
