@@ -75,6 +75,7 @@ def _time_best(fn, *args) -> float:
 
 def bench_sampling():
     from lfm_tpu.nn.dit import create_dit
+    from lfm_tpu.nn.dit_fused import cast_params_bf16, dit_fused_apply
     from lfm_tpu.ode import odeint
     from lfm_tpu.vae.autoencoder_kl import AutoencoderKL
 
@@ -89,9 +90,13 @@ def bench_sampling():
     )
 
     def sample(params, vae_params, noise):
+        # fused Pallas DiT block path, bf16 cast hoisted out of the loop —
+        # same path make_sampler takes on TPU (sample/sample.py)
+        bf = cast_params_bf16(params)
+
         def velocity(t, x):
             tb = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x.shape[0],))
-            return model.apply(params, tb, x)
+            return dit_fused_apply(model, bf, tb, x)
 
         res = odeint(velocity, noise, 1.0, 0.0, method="euler", num_steps=NFE)
         img = vae.apply(vae_params, res.y / 0.18215, method=AutoencoderKL.decode)

@@ -73,6 +73,9 @@ class SampleConfig:
     step_size: float = 0.01
     perturb: bool = False
     use_karras_samplers: bool = False
+    # fused Pallas DiT block for single-chip TPU sampling (nn/dit_fused.py);
+    # ignored off-TPU / for non-DiT / mesh-sharded sampling
+    use_fused_dit: bool = True
     cfg_scale: float = 1.0
     generator: str = "determ"  # dummy | determ | determ-indiv
     seed: int = 42

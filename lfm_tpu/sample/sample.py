@@ -30,10 +30,28 @@ class SampleOutput(NamedTuple):
 
 
 def build_velocity(model, params, y: Optional[jnp.ndarray], cfg_scale: float,
-                   num_classes: Optional[int]):
-    """v(t, x) closure, CFG-fused when cfg_scale > 1 (test_flow_latent.py:55-59)."""
-    def apply(t, x, yy):
-        return model.apply(params, t, x, yy)
+                   num_classes: Optional[int], *, use_fused_dit: bool = False):
+    """v(t, x) closure, CFG-fused when cfg_scale > 1 (test_flow_latent.py:55-59).
+
+    With ``use_fused_dit`` (single-chip TPU sampling), eligible DiT models
+    evaluate through the fused Pallas block kernel (nn/dit_fused.py) with a
+    one-time bf16 param cast hoisted out of the ODE loop; measured +7.5%
+    end-to-end over the module path on v5e at the north-star shape."""
+    if use_fused_dit:
+        from lfm_tpu.nn.dit_fused import (cast_params_bf16, dit_fused_apply,
+                                          fused_applicable)
+        bf16_params = None  # cast lazily, only if a call is actually fused
+
+        def apply(t, x, yy):
+            nonlocal bf16_params
+            if fused_applicable(model, x):
+                if bf16_params is None:
+                    bf16_params = cast_params_bf16(params)
+                return dit_fused_apply(model, bf16_params, t, x, yy)
+            return model.apply(params, t, x, yy)
+    else:
+        def apply(t, x, yy):
+            return model.apply(params, t, x, yy)
 
     if y is not None and cfg_scale > 1.0:
         # Each model family defines its own CFG null label:
@@ -112,7 +130,8 @@ def make_sampler(
     eval_noise = "auto" if getattr(model, "dtype", jnp.float32) == jnp.bfloat16 else 0.0
 
     def raw(params, vae_params, noise: jnp.ndarray, y) -> SampleOutput:
-        velocity = build_velocity(model, params, y, sc.cfg_scale, num_classes)
+        velocity = build_velocity(model, params, y, sc.cfg_scale, num_classes,
+                                  use_fused_dit=sc.use_fused_dit)
         z0, nfe = sample_latents(
             velocity, noise,
             method=sc.method, atol=sc.atol, rtol=sc.rtol,

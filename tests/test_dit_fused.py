@@ -1,0 +1,92 @@
+"""Parity of the fused Pallas DiT block / full fused forward vs the flax
+module path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from lfm_tpu.kernels.dit_block import fused_dit_block
+from lfm_tpu.nn.dit import DiT, DiTBlock, create_dit
+from lfm_tpu.nn.dit_fused import cast_params_bf16, dit_fused_apply
+
+
+def test_fused_block_parity_interpret():
+    """Single block: Pallas kernel (interpret) vs DiTBlock.apply, f32
+    weights cast to bf16 as the module's dtype policy does."""
+    c, t, n, heads = 128, 64, 4, 4
+    block = DiTBlock(hidden_size=c, num_heads=heads, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (n, t, c), jnp.bfloat16)
+    cond = jax.random.normal(jax.random.PRNGKey(1), (n, c), jnp.bfloat16)
+    params = block.init(jax.random.PRNGKey(2), x, cond)
+    # adaLN is zero-init; give it signal so modulate paths are exercised
+    params = jax.tree_util.tree_map(
+        lambda a: jax.random.normal(jax.random.PRNGKey(3), a.shape,
+                                    jnp.float32) * 0.02
+        if a.size else a, params)
+
+    want = block.apply(params, x, cond)
+
+    p = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16),
+                               params["params"])
+    mod = (jnp.dot(jax.nn.silu(cond), p["adaLN_modulation"]["kernel"])
+           + p["adaLN_modulation"]["bias"])
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_dit_block(
+            x, mod,
+            p["attn"]["qkv"]["kernel"], p["attn"]["qkv"]["bias"],
+            p["attn"]["proj"]["kernel"], p["attn"]["proj"]["bias"],
+            p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
+            p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"],
+            num_heads=heads, samples_per_cell=2,
+        )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=0.05, atol=0.05)
+
+
+def test_fused_forward_parity_interpret():
+    """Full DiT forward: dit_fused_apply vs model.apply on a small config."""
+    model = DiT(img_resolution=16, patch_size=2, in_channels=4,
+                hidden_size=128, depth=3, num_heads=4, num_classes=10,
+                dtype=jnp.bfloat16, scan_blocks=True)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (4, 16, 16, 4))
+    t = jnp.linspace(0.1, 0.9, 4)
+    y = jnp.array([0, 3, 5, 9])
+    params = model.init(jax.random.PRNGKey(1), t, x, y)
+    # randomize zero-init tables so the comparison is nontrivial
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(2), len(leaves))
+    leaves = [jax.random.normal(k, l.shape, l.dtype) * 0.05
+              for k, l in zip(keys, leaves)]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    want = model.apply(params, t, x, y)
+    bf = cast_params_bf16(params)
+    with pltpu.force_tpu_interpret_mode():
+        got = dit_fused_apply(model, bf, t, x, y)
+    assert got.shape == want.shape == (4, 16, 16, 4)
+    w = np.asarray(want, np.float32)
+    g = np.asarray(got, np.float32)
+    denom = max(1e-3, float(np.abs(w).max()))
+    assert float(np.abs(g - w).max()) / denom < 0.05
+
+
+def test_fused_forward_null_label_interpret():
+    """y=None must route to the null label exactly like the module path."""
+    model = DiT(img_resolution=8, patch_size=2, in_channels=4,
+                hidden_size=64, depth=2, num_heads=4, num_classes=1,
+                dtype=jnp.bfloat16, scan_blocks=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+    t = jnp.array([0.2, 0.7])
+    params = model.init(jax.random.PRNGKey(1), t, x, None)
+    want = model.apply(params, t, x, None)
+    with pltpu.force_tpu_interpret_mode():
+        got = dit_fused_apply(model, cast_params_bf16(params), t, x, None)
+    w = np.asarray(want, np.float32)
+    g = np.asarray(got, np.float32)
+    denom = max(1e-3, float(np.abs(w).max()))
+    assert float(np.abs(g - w).max()) / denom < 0.05
