@@ -70,10 +70,19 @@ def fused_applicable(model, x: jnp.ndarray) -> bool:
 
 def dit_fused_apply(model, variables: Dict[str, Any], t: jnp.ndarray,
                     x: jnp.ndarray, y: Optional[jnp.ndarray] = None,
-                    *, samples_per_cell: Optional[int] = None) -> jnp.ndarray:
+                    *, samples_per_cell: Optional[int] = None,
+                    train_vjp: bool = False,
+                    bwd_samples_per_cell: int = 2) -> jnp.ndarray:
     """Forward pass equivalent to ``model.apply(variables, t, x, y)`` in
     eval mode, for a ``DiT`` with scan_blocks=True. Pass ``variables``
-    through ``cast_params_bf16`` once outside the sampling loop."""
+    through ``cast_params_bf16`` once outside the sampling loop.
+
+    With ``train_vjp=True`` the blocks run through the differentiable
+    fused kernel (kernels/dit_block_train.py: Pallas forward AND backward,
+    weight grads accumulated across grid cells) so ``jax.grad`` of a loss
+    through this function works end-to-end; pass the f32 master params
+    directly (each use casts to bf16, so the cast transpose yields f32
+    grads — the module path's dataflow)."""
     p = variables["params"]
     n, hh, ww, cc = x.shape
     ps = model.patch_size
@@ -103,17 +112,38 @@ def dit_fused_apply(model, variables: Dict[str, Any], t: jnp.ndarray,
 
     blocks = p["blocks"]["block"]
 
-    def body(carry, bp):
-        mod = _dense(silu_c, bp["adaLN_modulation"])  # (N, 6D)
-        out = fused_dit_block(
-            carry, mod,
-            bp["attn"]["qkv"]["kernel"], bp["attn"]["qkv"]["bias"],
-            bp["attn"]["proj"]["kernel"], bp["attn"]["proj"]["bias"],
-            bp["mlp"]["fc1"]["kernel"], bp["mlp"]["fc1"]["bias"],
-            bp["mlp"]["fc2"]["kernel"], bp["mlp"]["fc2"]["bias"],
-            num_heads=heads, samples_per_cell=s_cell,
-        )
-        return out, None
+    if train_vjp:
+        from lfm_tpu.kernels.dit_block_train import make_fused_block_train
+
+        block_fn = make_fused_block_train(heads, s_cell, bwd_samples_per_cell)
+
+        def body(carry, bp):
+            b = jnp.bfloat16
+            mod = _dense(silu_c, bp["adaLN_modulation"])  # (N, 6D) bf16
+            out = block_fn(
+                carry, mod,
+                bp["attn"]["qkv"]["kernel"].astype(b),
+                bp["attn"]["qkv"]["bias"].astype(b),
+                bp["attn"]["proj"]["kernel"].astype(b),
+                bp["attn"]["proj"]["bias"].astype(b),
+                bp["mlp"]["fc1"]["kernel"].astype(b),
+                bp["mlp"]["fc1"]["bias"].astype(b),
+                bp["mlp"]["fc2"]["kernel"].astype(b),
+                bp["mlp"]["fc2"]["bias"].astype(b),
+            )
+            return out, None
+    else:
+        def body(carry, bp):
+            mod = _dense(silu_c, bp["adaLN_modulation"])  # (N, 6D)
+            out = fused_dit_block(
+                carry, mod,
+                bp["attn"]["qkv"]["kernel"], bp["attn"]["qkv"]["bias"],
+                bp["attn"]["proj"]["kernel"], bp["attn"]["proj"]["bias"],
+                bp["mlp"]["fc1"]["kernel"], bp["mlp"]["fc1"]["bias"],
+                bp["mlp"]["fc2"]["kernel"], bp["mlp"]["fc2"]["bias"],
+                num_heads=heads, samples_per_cell=s_cell,
+            )
+            return out, None
 
     xt = xt.astype(jnp.bfloat16)
     xt, _ = jax.lax.scan(body, xt, blocks)
