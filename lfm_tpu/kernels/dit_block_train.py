@@ -32,8 +32,6 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -345,9 +343,6 @@ def _attn_bwd_kernel(x_ref, mod_ref, pr_ref, qkv_ref, ao_ref, wqkv_ref,
 # --------------------------------------------------------------------------
 # pallas_call wrappers
 # --------------------------------------------------------------------------
-
-_VMEM = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
-
 
 def _const(shape):
     return pl.BlockSpec(shape, lambda i: (0,) * len(shape),

@@ -248,11 +248,24 @@ class ADMAttentionBlock(nn.Module):
             qkv = qkv.reshape(n, t, 3, heads, hd)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        scale = 1.0 / math.sqrt(math.sqrt(hd))
-        attn = jnp.einsum("nqhd,nkhd->nhqk", q * scale, k * scale,
-                          preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1)
-        o = jnp.einsum("nhqk,nkhd->nqhd", attn, v).reshape(n, t, c)
+        if self.use_flash:
+            # Pallas whole-sequence attention (f32 accumulation, softmax in
+            # VMEM). Math-identical: the reference's two-sided
+            # 1/sqrt(sqrt(d)) scaling of q and k equals the kernel's single
+            # 1/sqrt(d) logit scale (unet.py:325-330). Measured neutral on
+            # the celeb256_adm preset (32.4 vs 32.7 samples/s — attention
+            # is ~3% of this conv-dominated model at T<=256); it matters
+            # for configs with attention at T>=1024 where the flash path
+            # wins 1.6x over materialized probs.
+            from lfm_tpu.kernels.flash_attention import fused_attention
+
+            o = fused_attention(q, k, v).reshape(n, t, c)
+        else:
+            scale = 1.0 / math.sqrt(math.sqrt(hd))
+            attn = jnp.einsum("nqhd,nkhd->nhqk", q * scale, k * scale,
+                              preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(attn, axis=-1)
+            o = jnp.einsum("nhqk,nkhd->nqhd", attn, v).reshape(n, t, c)
         o = nn.Dense(c, dtype=jnp.float32, kernel_init=_zeros, bias_init=_zeros,
                      name="proj_out")(o)
         return x + o.reshape(n, h, w, c).astype(x.dtype)

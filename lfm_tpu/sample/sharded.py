@@ -63,7 +63,12 @@ def make_sharded_generator(
     def raw(params, vae_params, inception_params, indices):
         noise = rng.randn(indices, (s, s, cin))
         y = rng.randint(indices, 0, nc) if (nc is not None and nc > 1) else None
-        velocity = build_velocity(model, params, y, sc.cfg_scale, nc)
+        # fused Pallas DiT path only on a single-device mesh: under SPMD
+        # a pallas_call needs an explicit shard_map partitioning, so
+        # multi-chip FID keeps the module path (XLA partitions it)
+        velocity = build_velocity(
+            model, params, y, sc.cfg_scale, nc,
+            use_fused_dit=sc.use_fused_dit and n_dev == 1)
         z0, nfe = sample_latents(
             velocity, noise, method=sc.method, atol=sc.atol, rtol=sc.rtol,
             num_steps=sc.num_steps, step_size=sc.step_size,

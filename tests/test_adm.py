@@ -188,3 +188,22 @@ def test_cfg_null_label_is_class_zero():
     v_last = np.asarray(model.apply(params, t[0], x, jnp.full_like(y, 4)))
     wrong = v_last + 2.0 * (v_cond - v_last)
     assert not np.allclose(got, wrong, rtol=1e-3, atol=1e-4)
+
+
+def test_attention_block_flash_parity():
+    """use_flash dispatches ADM attention to the Pallas path; off-TPU that
+    is the reference einsum with single-sided 1/sqrt(d) scaling, which must
+    equal the two-sided 1/sqrt(sqrt(d)) formulation (unet.py:325-330)."""
+    from lfm_tpu.nn.adm_unet import ADMAttentionBlock
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 64))
+    for legacy in (True, False):
+        ref = ADMAttentionBlock(num_heads=4, legacy_order=legacy,
+                                use_flash=False)
+        fla = ADMAttentionBlock(num_heads=4, legacy_order=legacy,
+                                use_flash=True)
+        params = ref.init(jax.random.PRNGKey(1), x)
+        a = ref.apply(params, x)
+        b = fla.apply(params, x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
