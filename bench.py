@@ -26,11 +26,11 @@ measurement; the defensible absolute numbers are `value` and the MFU.
 Extras (recorded in the same JSON line, `extra` key):
   * sample_mfu      — XLA cost-analysis FLOPs of the jitted sampling program
                       divided by wall time and the v5e bf16 peak (197 TFLOP/s)
-  * train_steps_per_sec / train_samples_per_sec / train_hw_util —
-    one fused jitted train step (DiT-L/2, latent data, batch 32, remat on,
-    bf16, AdamW + EMA; reference instruments steps/sec at
-    train_flow_latent.py:158-170). hw_util counts executed FLOPs (includes
-    the remat recompute), i.e. hardware utilization, not model MFU.
+  * train_steps_per_sec / train_samples_per_sec / train_mfu —
+    sustained fused jitted train steps (DiT-L/2, latent data, batch 32,
+    remat(dots), bf16, AdamW + EMA; reference instruments steps/sec at
+    train_flow_latent.py:158-170). train_mfu uses the model-FLOPs
+    convention (3x forward; remat recompute and optimizer excluded).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """

@@ -76,6 +76,9 @@ class SampleConfig:
     # fused Pallas DiT block for single-chip TPU sampling (nn/dit_fused.py);
     # ignored off-TPU / for non-DiT / mesh-sharded sampling
     use_fused_dit: bool = True
+    # adaptive-solver noise floor: None = per-method policy (auto only for
+    # bf16 dopri8; see sample.resolve_eval_noise), or a float / "auto"
+    eval_noise: Optional[Any] = None
     cfg_scale: float = 1.0
     generator: str = "determ"  # dummy | determ | determ-indiv
     seed: int = 42

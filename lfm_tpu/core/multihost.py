@@ -56,9 +56,11 @@ def initialize(coordinator_address: Optional[str] = None,
         else:
             jax.distributed.initialize(coordinator_address, num_processes, process_id)
         _initialized = True
-    except RuntimeError as e:
+    except (RuntimeError, ValueError) as e:
         # Only swallow the specific benign cases: already initialized, or
         # no TPU/coordinator environment to auto-discover (single-host dev).
+        # ValueError covers jax versions where failed auto-discovery raises
+        # e.g. "coordinator_address should be defined".
         msg = str(e).lower()
         if "already initialized" in msg:
             _initialized = True

@@ -477,8 +477,6 @@ def _jnp_bwd(num_heads, res, dy):
     attention forward — saving streams any wider erases the fused forward's
     advantage through VMEM double-buffer pressure (44.1 vs ~37 ms).
     """
-    from lfm_tpu.kernels.flash_attention import attention_small
-
     if len(res) == 10:  # slim streams: recompute x1/u/ao in backward
         x, mod3, h2, pr, qkv, wqkv, wproj, w1, b1, w2 = res
         x1 = ao = u = None

@@ -256,10 +256,19 @@ def _small_shape_ok(q) -> bool:
     return t <= 1024 and (3 * t * h * d * 4 + t * t * 4) < 96 * 1024 * 1024
 
 
+def _pallas_ok() -> bool:
+    """Pallas dispatch gate: TPU backend AND a single device. Under SPMD
+    over a multi-device mesh a pallas_call needs explicit shard_map
+    partitioning — until that wiring exists, multi-chip programs take the
+    XLA path (which the partitioner handles natively)."""
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
+
+
 def _dispatch_attention(q, k, v):
     """Whole-sequence VMEM kernel for small T, flash for long T; plain XLA
-    on non-TPU backends (CPU tests run the reference path directly)."""
-    if jax.default_backend() != "tpu":
+    on non-TPU backends (CPU tests run the reference path directly) and on
+    multi-device meshes (see _pallas_ok)."""
+    if not _pallas_ok():
         return reference_attention(q, k, v)
     if _small_shape_ok(q):
         return attention_small(q, k, v)
@@ -283,7 +292,7 @@ def _fused_attention_fwd(q, k, v):
 
 def _fused_attention_bwd(res, g):
     q, k, v = res
-    if jax.default_backend() == "tpu" and _small_shape_ok(q):
+    if _pallas_ok() and _small_shape_ok(q):
         return attention_small_bwd(q, k, v, g)
     _, vjp = jax.vjp(reference_attention, q, k, v)
     return vjp(g)

@@ -275,6 +275,10 @@ class GaussianFourierProjection(nn.Module):
             "W", lambda k, s: jax.random.normal(k, s) * self.scale,
             (self.embedding_size,),
         )
+        # frozen random features: score_sde registers W with
+        # requires_grad=False; keep it in the param tree for checkpoint
+        # layout but block gradients so the optimizer never moves it
+        w = jax.lax.stop_gradient(w)
         xp = x[:, None] * w[None, :] * 2.0 * jnp.pi
         return jnp.concatenate([jnp.sin(xp), jnp.cos(xp)], axis=-1)
 

@@ -105,6 +105,22 @@ def sample_latents(
     return res.y, res.nfe
 
 
+def resolve_eval_noise(sc, model):
+    """Noise-floor policy for the adaptive error estimate.
+
+    Default (``sc.eval_noise is None``): "auto" only where it is needed —
+    a bf16 model under dopri8, whose 7th-order embedded estimate sits at
+    the bf16 rounding floor and thrashes without it (measured NFE 4070 ->
+    422, ode/solvers.py). dopri5 — the method every released argfile uses —
+    keeps exact torchdiffeq step control (measured NFE ~206 at bf16, in the
+    reference's own range), preserving NFE/FID parity. Set
+    ``SampleConfig.eval_noise`` to a float or "auto" to override."""
+    if sc.eval_noise is not None:
+        return sc.eval_noise
+    bf16 = getattr(model, "dtype", jnp.float32) == jnp.bfloat16
+    return "auto" if (bf16 and sc.method == "dopri8") else 0.0
+
+
 def make_sampler(
     config: Config,
     model,
@@ -123,11 +139,7 @@ def make_sampler(
     """
     sc = config.sample
     num_classes = config.model.num_classes
-
-    # bf16 models carry relative rounding noise per velocity eval; let the
-    # adaptive controller calibrate and subtract it so high-order methods
-    # (dopri8) don't chase the noise floor as if it were truncation error
-    eval_noise = "auto" if getattr(model, "dtype", jnp.float32) == jnp.bfloat16 else 0.0
+    eval_noise = resolve_eval_noise(sc, model)
 
     def raw(params, vae_params, noise: jnp.ndarray, y) -> SampleOutput:
         velocity = build_velocity(model, params, y, sc.cfg_scale, num_classes,

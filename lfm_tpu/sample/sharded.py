@@ -30,7 +30,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from lfm_tpu.core.config import Config
 from lfm_tpu.core.rng import SampleRNG
 from lfm_tpu.core.sharding import DATA_AXIS, make_mesh
-from lfm_tpu.sample.sample import build_velocity, sample_latents
+from lfm_tpu.sample.sample import (build_velocity, resolve_eval_noise,
+                                   sample_latents)
 
 
 def make_sharded_generator(
@@ -73,9 +74,7 @@ def make_sharded_generator(
             velocity, noise, method=sc.method, atol=sc.atol, rtol=sc.rtol,
             num_steps=sc.num_steps, step_size=sc.step_size,
             use_karras=sc.use_karras_samplers,
-            eval_noise=("auto"
-                        if getattr(model, "dtype", jnp.float32) == jnp.bfloat16
-                        else 0.0),
+            eval_noise=resolve_eval_noise(sc, model),
         )
         if vae is None:
             return z0, None, nfe

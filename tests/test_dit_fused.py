@@ -77,19 +77,20 @@ def test_fused_forward_parity_interpret():
 
 def test_fused_applicable_gate():
     """The static gate keeps the fused path off for non-TPU backends,
-    non-scan DiTs, and DiT-XL's 72-dim heads."""
+    non-scan DiTs, and non-bf16 models."""
     from lfm_tpu.nn.dit_fused import fused_applicable
 
     x = jnp.zeros((8, 32, 32, 4))
-    dit_l = create_dit("DiT-L/2", img_resolution=32, num_classes=1)
+    dit_l = create_dit("DiT-L/2", img_resolution=32, num_classes=1,
+                       dtype=jnp.bfloat16)
     # CPU backend in tests -> always off
     assert not fused_applicable(dit_l, x)
-    # even pretending backend checks pass, XL's head_dim=72 is rejected
-    dit_xl = create_dit("DiT-XL/2", img_resolution=32, num_classes=1)
-    assert dit_xl.hidden_size // dit_xl.num_heads == 72
     no_scan = create_dit("DiT-L/2", img_resolution=32, num_classes=1,
-                         scan_blocks=False)
+                         dtype=jnp.bfloat16, scan_blocks=False)
     assert not fused_applicable(no_scan, x)
+    # f32 models must keep f32 numerics through the module path
+    dit_f32 = create_dit("DiT-L/2", img_resolution=32, num_classes=1)
+    assert not fused_applicable(dit_f32, x)
 
 
 def _block_args(key, n=4, t=64, c=128, heads=4, hidden=None):

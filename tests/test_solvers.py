@@ -236,3 +236,23 @@ def test_eval_noise_zero_is_exact_torchdiffeq_behavior(y0):
                eval_noise=0.0)
     np.testing.assert_array_equal(np.asarray(a.y), np.asarray(b.y))
     assert float(a.nfe) == float(b.nfe)
+
+
+def test_resolve_eval_noise_policy():
+    """Default noise-floor policy: auto ONLY for bf16 dopri8 (the measured
+    blow-up case); dopri5 keeps exact torchdiffeq step control for NFE/FID
+    parity; SampleConfig.eval_noise overrides either way."""
+    import jax.numpy as jnp
+    from lfm_tpu.core.config import SampleConfig
+    from lfm_tpu.nn.dit import DiT
+    from lfm_tpu.sample.sample import resolve_eval_noise
+
+    bf16 = DiT(dtype=jnp.bfloat16)
+    f32 = DiT()
+    assert resolve_eval_noise(SampleConfig(method="dopri8"), bf16) == "auto"
+    assert resolve_eval_noise(SampleConfig(method="dopri5"), bf16) == 0.0
+    assert resolve_eval_noise(SampleConfig(method="dopri8"), f32) == 0.0
+    assert resolve_eval_noise(
+        SampleConfig(method="dopri5", eval_noise="auto"), bf16) == "auto"
+    assert resolve_eval_noise(
+        SampleConfig(method="dopri8", eval_noise=0.0), bf16) == 0.0
