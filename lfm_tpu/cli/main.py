@@ -125,6 +125,11 @@ def _build_parser():
         s.add_argument("--rtol", type=float, default=None)
         s.add_argument("--cfg_scale", type=float, default=None)
         s.add_argument("--use_karras_samplers", action="store_true", default=None)
+        s.add_argument("--no_fused_dit", action="store_true", default=None,
+                       help="disable the fused Pallas DiT sampling kernel")
+        s.add_argument("--eval_noise", type=str, default=None,
+                       help='adaptive noise floor: float or "auto" '
+                            "(default: per-method policy)")
         s.add_argument("--n_sample", type=int, default=None)
         s.add_argument("--generator", type=str, default=None)
         s.add_argument("--real_img_dir", type=str, default=None)
@@ -179,6 +184,11 @@ def _resolve_config(args):
             epoch_id=args.epoch_id, seed=args.seed,
             generator=args.generator, real_img_dir=args.real_img_dir,
             output_log=args.output_log,
+            use_fused_dit=(False if getattr(args, "no_fused_dit", None)
+                           else None),
+            eval_noise=(None if getattr(args, "eval_noise", None) is None
+                        else "auto" if args.eval_noise == "auto"
+                        else float(args.eval_noise)),
         )
     train_cfg = config.train
     if args.cmd in ("train", "train-inpainting", "train-semantic"):
