@@ -51,13 +51,17 @@ def _pick_samples_per_cell(n: int) -> int:
     return 1
 
 
-def fused_applicable(model, x: jnp.ndarray) -> bool:
+def fused_applicable(model, x: jnp.ndarray, *,
+                     assume_local: bool = False) -> bool:
     """Static (trace-time) gate for the fused sampling path: a bf16
-    scan-blocks DiT on a single-device TPU backend with Mosaic-tileable
-    dims. DiT-XL's 72-dim heads are fine — Mosaic handles the unaligned
-    head slices (verified on v5e: block parity rel-err 0.47%). The whole
-    config matrix S/B/L/XL x patch 2/4/8 at 32-64px latents compiles and
-    matches the module path on chip."""
+    scan-blocks DiT on a TPU backend with Mosaic-tileable dims, evaluated
+    either on a single device or inside a shard_map shard
+    (``assume_local=True`` — the per-shard computation is single-device by
+    construction, so the SPMD restriction does not apply). DiT-XL's 72-dim
+    heads are fine — Mosaic handles the unaligned head slices (verified on
+    v5e: block parity rel-err 0.47%). The whole config matrix S/B/L/XL x
+    patch 2/4/8 at 32-64px latents compiles and matches the module path on
+    chip."""
     from lfm_tpu.nn.dit import DiT  # local import to avoid cycle
 
     if not isinstance(model, DiT) or not model.scan_blocks:
@@ -66,7 +70,12 @@ def fused_applicable(model, x: jnp.ndarray) -> bool:
         # the fused path computes in bf16; an f32 model must keep f32
         # numerics through the module path
         return False
-    if jax.default_backend() != "tpu" or jax.device_count() != 1:
+    if jax.default_backend() != "tpu":
+        return False
+    if not assume_local and jax.device_count() != 1:
+        # a bare pallas_call under SPMD would need its own partitioning;
+        # multi-device callers go through the shard_map wrapper instead
+        # (sample.build_velocity with shard_mesh)
         return False
     d, heads = model.hidden_size, model.num_heads
     t = (model.img_resolution // model.patch_size) ** 2

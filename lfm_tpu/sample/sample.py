@@ -30,25 +30,57 @@ class SampleOutput(NamedTuple):
 
 
 def build_velocity(model, params, y: Optional[jnp.ndarray], cfg_scale: float,
-                   num_classes: Optional[int], *, use_fused_dit: bool = False):
+                   num_classes: Optional[int], *, use_fused_dit: bool = False,
+                   shard_mesh=None):
     """v(t, x) closure, CFG-fused when cfg_scale > 1 (test_flow_latent.py:55-59).
 
-    With ``use_fused_dit`` (single-chip TPU sampling), eligible DiT models
-    evaluate through the fused Pallas block kernel (nn/dit_fused.py) with a
-    one-time bf16 param cast hoisted out of the ODE loop; measured +7.5%
-    end-to-end over the module path on v5e at the north-star shape."""
-    if use_fused_dit:
+    With ``use_fused_dit``, eligible DiT models evaluate through the fused
+    Pallas block kernel (nn/dit_fused.py) with a one-time bf16 param cast
+    hoisted out of the ODE loop; measured +7.5% end-to-end over the module
+    path on v5e at the north-star shape.
+
+    ``shard_mesh`` (multi-device sampling, sample/sharded.py) wraps the
+    model evaluation in a ``shard_map`` over the data axis: every operand
+    (t, x, y) is batch-sharded, params ride in as replicated captures, and
+    the per-shard computation is single-device by construction — which is
+    exactly what a pallas_call needs under SPMD. Off-TPU the per-shard body
+    falls back to ``model.apply``, so the CPU-mesh suite exercises the
+    wrapper end-to-end (mesh-shape invariance of generated samples)."""
+    if use_fused_dit or shard_mesh is not None:
         from lfm_tpu.nn.dit_fused import (cast_params_bf16, dit_fused_apply,
                                           fused_applicable)
         bf16_params = None  # cast lazily, only if a call is actually fused
 
-        def apply(t, x, yy):
+        def local_apply(t, x, yy):
             nonlocal bf16_params
-            if fused_applicable(model, x):
+            if use_fused_dit and fused_applicable(
+                    model, x, assume_local=shard_mesh is not None):
                 if bf16_params is None:
                     bf16_params = cast_params_bf16(params)
                 return dit_fused_apply(model, bf16_params, t, x, yy)
             return model.apply(params, t, x, yy)
+
+        if shard_mesh is None:
+            apply = local_apply
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            from lfm_tpu.core.sharding import DATA_AXIS
+
+            shard_map = jax.shard_map
+            spec = P(DATA_AXIS)
+
+            def apply(t, x, yy):
+                if yy is None:
+                    fn = shard_map(
+                        lambda t_, x_: local_apply(t_, x_, None),
+                        mesh=shard_mesh, in_specs=(spec, spec),
+                        out_specs=spec, check_vma=False)
+                    return fn(t, x)
+                fn = shard_map(local_apply, mesh=shard_mesh,
+                               in_specs=(spec, spec, spec), out_specs=spec,
+                               check_vma=False)
+                return fn(t, x, yy)
     else:
         def apply(t, x, yy):
             return model.apply(params, t, x, yy)

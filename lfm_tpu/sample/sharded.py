@@ -64,12 +64,13 @@ def make_sharded_generator(
     def raw(params, vae_params, inception_params, indices):
         noise = rng.randn(indices, (s, s, cin))
         y = rng.randint(indices, 0, nc) if (nc is not None and nc > 1) else None
-        # fused Pallas DiT path only on a single-device mesh: under SPMD
-        # a pallas_call needs an explicit shard_map partitioning, so
-        # multi-chip FID keeps the module path (XLA partitions it)
+        # multi-device meshes evaluate the model inside a shard_map over the
+        # data axis (per-shard single-device semantics — the form a
+        # pallas_call needs under SPMD); single-device meshes call directly
         velocity = build_velocity(
             model, params, y, sc.cfg_scale, nc,
-            use_fused_dit=sc.use_fused_dit and n_dev == 1)
+            use_fused_dit=sc.use_fused_dit,
+            shard_mesh=mesh if n_dev > 1 else None)
         z0, nfe = sample_latents(
             velocity, noise, method=sc.method, atol=sc.atol, rtol=sc.rtol,
             num_steps=sc.num_steps, step_size=sc.step_size,

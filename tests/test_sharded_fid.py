@@ -50,6 +50,26 @@ def test_sharded_generation_mesh_invariant(mesh8):
         np.testing.assert_allclose(outs[8][i], outs[1][i], atol=2e-5)
 
 
+def test_sharded_dopri5_mesh_invariant(mesh8):
+    """The production FID path (dopri5: shard_map'd model eval inside the
+    adaptive while_loop) must generate the same latents on an 8-device and a
+    1-device mesh. Adaptive step control is global (outside the shard_map),
+    so trajectories agree to float tolerance."""
+    from lfm_tpu.core.sharding import make_mesh
+
+    config, model, params = _setup()
+    config = config.replace(sample=SampleConfig(
+        method="dopri5", n_sample=16, batch_size=16))
+    outs = {}
+    for mesh in (mesh8, make_mesh(dp=1, devices=jax.devices()[:1])):
+        step_fn, n_steps, _ = make_sharded_generator(
+            config, model, params, mesh=mesh)
+        img, _, nfe, idx = step_fn(0)
+        outs[mesh.devices.size] = (np.asarray(img), float(nfe))
+    np.testing.assert_allclose(outs[8][0], outs[1][0], atol=5e-5)
+    assert outs[8][1] == outs[1][1] > 0  # identical NFE: global step control
+
+
 def test_generate_fid_activations_with_tiny_vae_inception(mesh8, tmp_path):
     """Full path: sample -> VAE decode -> inception activations -> FID."""
     from lfm_tpu.eval.fid import activation_statistics, fid_from_activations, save_statistics
