@@ -85,8 +85,17 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
 
     label_dropout = config.model.label_dropout > 0
 
-    def model_apply(p, t, z, y, rngs=None):
-        return model.apply(p, t, z, y, train=True, rngs=rngs)
+    if mesh.devices.size > 1 and not label_dropout:
+        # multi-device: evaluate the net inside a shard_map so the Pallas
+        # attention kernels keep working under SPMD (train.py helper);
+        # label-dropout models keep the plain path (per-shard RNG would
+        # change the dropout pattern)
+        from lfm_tpu.train.train import shard_mapped_model_apply
+
+        model_apply = shard_mapped_model_apply(model, mesh)
+    else:
+        def model_apply(p, t, z, y, rngs=None):
+            return model.apply(p, t, z, y, train=True, rngs=rngs)
 
     fused = (make_fused_adamw_ema(tc, steps_per_epoch, ema_decay=tc.ema_decay,
                                   use_ema=tc.use_ema)

@@ -94,6 +94,36 @@ def make_train_step(
     return train_step
 
 
+def shard_mapped_model_apply(model, mesh: Mesh, *, train: bool = True):
+    """Model-eval wrapper for the train step: evaluate the network inside a
+    ``jax.shard_map`` over the data axis, so per-shard computation has
+    single-device semantics (the form a pallas_call — the flash-attention
+    custom_vjp — needs under SPMD on multi-chip meshes). Params ride in as
+    a replicated input; shard_map's transpose inserts the gradient psum
+    over the data axis automatically, which the exactness test pins against
+    the plain path (tests/test_train_sample.py).
+
+    Only for label_dropout==0 models: per-shard RNG would change the
+    dropout pattern vs the unsharded step (loop.py gates on this)."""
+    spec = P(DATA_AXIS)
+
+    def model_apply(p, t, z, y, rngs=None):
+        def local(p_, t_, z_, y_):
+            return model.apply(p_, t_, z_, y_, train=train)
+
+        if y is None:
+            fn = jax.shard_map(
+                lambda p_, t_, z_: local(p_, t_, z_, None), mesh=mesh,
+                in_specs=(P(), spec, spec), out_specs=spec, check_vma=False)
+            return fn(p, t, z)
+        fn = jax.shard_map(local, mesh=mesh,
+                           in_specs=(P(), spec, spec, spec),
+                           out_specs=spec, check_vma=False)
+        return fn(p, t, z, y)
+
+    return model_apply
+
+
 def jit_train_step(train_step, mesh: Mesh):
     """jit with explicit shardings: state replicated (dp) and outputs pinned
     replicated; the batch sharding is TAKEN FROM THE ARGUMENTS

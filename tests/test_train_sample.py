@@ -196,6 +196,46 @@ def test_fused_adamw_matches_optax(wd, lr_decay):
     assert int(s_fus.step) == 5
 
 
+def test_shard_mapped_train_eval_matches_plain(mesh8):
+    """The shard_map model-eval wrapper (multi-device training path) must
+    reproduce the plain step exactly: same loss, same grad norm, same
+    updated params — including the gradient psum shard_map's transpose
+    inserts for the replicated param input."""
+    from lfm_tpu.train.train import shard_mapped_model_apply
+
+    model = _tiny_model()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1,)),
+                        jnp.zeros((1, 8, 8, 4)), None)
+    cfg = TrainConfig(lr=3e-3, no_lr_decay=True, use_ema=True, ema_decay=0.9)
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+
+    def plain(p, t, z, y, rngs=None):
+        return model.apply(p, t, z, y)
+
+    wrapped = shard_mapped_model_apply(model, mesh8, train=False)
+
+    results = {}
+    for name, apply_fn in (("plain", plain), ("wrapped", wrapped)):
+        state = create_train_state(params, cfg, steps_per_epoch=10)
+        step = jax.jit(make_train_step(apply_fn, tx, ema_decay=cfg.ema_decay,
+                                       use_ema=True, scale_factor=1.0))
+        metrics = []
+        for i in range(3):
+            z0 = 1.0 + 0.5 * jax.random.normal(jax.random.PRNGKey(i),
+                                               (16, 8, 8, 4))
+            batch = shard_batch(mesh8, {"x": np.asarray(z0)})
+            state, m = step(state, batch, jax.random.PRNGKey(1))
+            metrics.append((float(m.loss), float(m.grad_norm)))
+        results[name] = (state, metrics)
+
+    np.testing.assert_allclose(results["wrapped"][1], results["plain"][1],
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(results["wrapped"][0].params),
+                    jax.tree_util.tree_leaves(results["plain"][0].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_noise_and_labels_conditional():
     config = Config(model=ModelConfig(model_type="DiT-B/2", image_size=256,
                                       num_classes=1000, label_dropout=0.1))
