@@ -1,20 +1,34 @@
 """Benchmark: CelebA-HQ 256 sampling throughput, samples/sec/chip (+ MFU,
-training steps/sec).
+dopri5, training, ADM extras).
 
 Measures the BASELINE.json north-star workload — DiT-L/2 velocity sampling in
 f8 latent space (32x32x4) for 256px images, the exact per-NFE kernel of the
 reference's FID generation path (reference test_flow_latent.py:161-194,
 models/DiT.py:252-272) — on one TPU chip, bf16 compute.
 
-The integrator runs 100 euler steps per sample: a fixed-NFE proxy for the
-dopri5 adaptive run, whose NFE the reference instruments at ~O(100)
-(test_flow_latent.py:196-221); a randomly-initialised DiT has near-zero
-velocity (adaLN-zero init), so adaptive step control on random weights would
-finish in a handful of steps and overstate throughput. VAE decode is included
-(it is part of the reference's measured `run_sampling`). The adaptive path
-itself adds no overhead: real dopri5 on a perturbed DiT-L/2 measured the
-same per-NFE throughput as this euler proxy (NFE 218 -> 3.49 samples/s), so
-samples/sec scales as 100/NFE of the trained checkpoint.
+Structure (round 3): the driver runs ``python bench.py`` under a timeout, so
+the bench is ORDERED BY VALUE and TIMEOUT-ROBUST. Each stage runs in its own
+subprocess (cold HBM, no cross-stage OOM) and the cumulative record is
+printed+flushed after EVERY stage, so a timeout at any point still leaves a
+complete, parseable JSON line of everything measured so far:
+
+  1. sampling  — flash-attention module path, euler NFE=100, batch 64
+                 (fast compile; lands the headline number first)
+  2. fused     — fused Pallas whole-block DiT path (slow Mosaic compile;
+                 upgrades the headline value when it lands: 8.4 -> 9.1)
+  3. train     — sustained fused train steps (DiT-L/2, latent data, bs32,
+                 remat(dots), bf16, AdamW+EMA; reference instruments
+                 steps/sec at train_flow_latent.py:158-170)
+  4. dopri5    — the real BASELINE metric (dopri5 adaptive, atol=rtol=1e-5,
+                 reference test_flow_latent.py:42-76) on deterministically
+                 perturbed weights (random init is adaLN-zero => degenerate
+                 adaptive control), recorded as extra.dopri5_*
+  5. adm256    — ADM UNet (origin, celeb256_adm preset) sampling
+  6. adm512    — celeb512 ADM, T=4096 flash-attention resolution
+
+The per-NFE euler proxy remains the headline `value` (comparable to rounds
+1-2); stage 4 records the adaptive-solver metric as an artifact instead of a
+docstring claim.
 
 vs_baseline: ratio against the reference implementation's ESTIMATED A100
 throughput for the same workload, 0.5 samples/sec/GPU — derived from
@@ -23,23 +37,15 @@ PyTorch on A100 (the reference's own `--measure_time` harness shape,
 test_flow_latent.py:223-246). The estimate is self-derived, not a
 measurement; the defensible absolute numbers are `value` and the MFU.
 
-Extras (recorded in the same JSON line, `extra` key):
-  * sample_mfu      — XLA cost-analysis FLOPs of the jitted sampling program
-                      divided by wall time and the v5e bf16 peak (197 TFLOP/s)
-  * train_steps_per_sec / train_samples_per_sec / train_mfu —
-    sustained fused jitted train steps (DiT-L/2, latent data, batch 32,
-    remat(dots), bf16, AdamW + EMA; reference instruments steps/sec at
-    train_flow_latent.py:158-170). train_mfu uses the model-FLOPs
-    convention (3x forward; remat recompute and optimizer excluded).
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+Budget: BENCH_BUDGET_S env (default 1500 s). Stages whose estimated cost
+exceeds the remaining budget are skipped (noted in extra.skipped).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
 
 A100_BASELINE_SAMPLES_PER_SEC = 0.5  # documented estimate, see module docstring
 V5E_BF16_PEAK_FLOPS = 197e12
@@ -61,26 +67,73 @@ REPS = 3
 DIT_L2_FWD_FLOPS_PER_SAMPLE = 1.61932e11
 VAE_DECODE_FLOPS_PER_SAMPLE = 6.15809e11
 
+# Per-stage wall-clock estimates (seconds, compile-dominated; measured on
+# the v5e tunnel round 3). Used for budget-based skipping; the subprocess
+# hard timeout is 2.5x this.
+STAGE_EST = {
+    "sampling": 300,
+    "fused": 700,
+    "train": 420,
+    "dopri5": 360,
+    "adm256": 300,
+    "adm512": 420,
+}
+STAGES = ["sampling", "fused", "train", "dopri5", "adm256", "adm512"]
 
-def _time_best(fn, *args) -> float:
+
+# --------------------------------------------------------------------------
+# shared helpers (stage subprocesses only — keep the parent stdlib-only so
+# it starts instantly)
+# --------------------------------------------------------------------------
+
+def _sample_loop(model_velocity, vae, vae_params, n, latent_hw, nfe):
+    """Build sample(noise)->checksum: euler integrate + VAE decode."""
+    import jax.numpy as jnp
+
+    from lfm_tpu.ode import odeint
+    from lfm_tpu.vae.autoencoder_kl import AutoencoderKL
+
+    def sample(noise):
+        res = odeint(model_velocity, noise, 1.0, 0.0, method="euler",
+                     num_steps=nfe)
+        img = vae.apply(vae_params, res.y / 0.18215, method=AutoencoderKL.decode)
+        img = jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
+        # scalar checksum: forces full execution with a tiny host transfer
+        return jnp.float32(img.sum())
+
+    return sample
+
+
+def _time_sampling(jitted, batch, latent_hw, chan=4):
+    """Warmup + best-of-REPS timing with fresh donated noise buffers;
+    sync via scalar transfer (axon block_until_ready no-ops)."""
+    import jax
+    import jax.numpy as jnp
+
     for _ in range(WARMUP):
-        float(fn(*args))
+        buf = jax.random.normal(jax.random.PRNGKey(3),
+                                (batch, latent_hw, latent_hw, chan))
+        float(jitted(buf))
     times = []
     for _ in range(REPS):
+        buf = jax.random.normal(jax.random.PRNGKey(3),
+                                (batch, latent_hw, latent_hw, chan))
+        float(jnp.float32(buf[0, 0, 0, 0]))  # materialize before timing
         t0 = time.perf_counter()
-        float(fn(*args))  # scalar transfer == sync (axon block_until_ready no-op)
+        float(jitted(buf))
         times.append(time.perf_counter() - t0)
     return min(times)
 
 
-def bench_sampling():
+def _dit_and_vae(use_flash=True):
+    import jax
+    import jax.numpy as jnp
+
     from lfm_tpu.nn.dit import create_dit
-    from lfm_tpu.nn.dit_fused import cast_params_bf16, dit_fused_apply
-    from lfm_tpu.ode import odeint
     from lfm_tpu.vae.autoencoder_kl import AutoencoderKL
 
     model = create_dit("DiT-L/2", img_resolution=32, num_classes=1,
-                       dtype=jnp.bfloat16, use_flash=True)
+                       dtype=jnp.bfloat16, use_flash=use_flash)
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1,)), jnp.zeros((1, 32, 32, 4)), None
     )
@@ -88,49 +141,117 @@ def bench_sampling():
     vae_params = vae.init(
         jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)), jax.random.PRNGKey(2)
     )
+    return model, params, vae, vae_params
 
-    def sample(params, vae_params, noise):
-        # fused Pallas DiT block path, bf16 cast hoisted out of the loop —
-        # same path make_sampler takes on TPU (sample/sample.py)
-        bf = cast_params_bf16(params)
 
-        def velocity(t, x):
-            tb = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x.shape[0],))
-            return dit_fused_apply(model, bf, tb, x)
+def stage_sampling():
+    """Flash-attention module path: the fast-compiling headline."""
+    import jax
+    import jax.numpy as jnp
 
-        res = odeint(velocity, noise, 1.0, 0.0, method="euler", num_steps=NFE)
+    model, params, vae, vae_params = _dit_and_vae(use_flash=True)
+
+    def velocity(t, x):
+        tb = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x.shape[0],))
+        return model.apply(params, tb, x)
+
+    sample = _sample_loop(velocity, vae, vae_params, BATCH, 32, NFE)
+    jitted = jax.jit(sample, donate_argnums=(0,))
+    best = _time_sampling(jitted, BATCH, 32)
+    sps = BATCH / best
+    flops = BATCH * (NFE * DIT_L2_FWD_FLOPS_PER_SAMPLE + VAE_DECODE_FLOPS_PER_SAMPLE)
+    return {"samples_per_sec": round(sps, 4),
+            "sample_mfu": round(flops / best / V5E_BF16_PEAK_FLOPS, 4)}
+
+
+def stage_fused():
+    """Fused Pallas whole-block DiT path (kernels/dit_block.py) — same
+    workload as stage_sampling, higher value, much slower Mosaic compile."""
+    import jax
+    import jax.numpy as jnp
+
+    from lfm_tpu.nn.dit_fused import cast_params_bf16, dit_fused_apply
+
+    model, params, vae, vae_params = _dit_and_vae(use_flash=True)
+    bf = cast_params_bf16(params)
+
+    def velocity(t, x):
+        tb = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x.shape[0],))
+        return dit_fused_apply(model, bf, tb, x)
+
+    sample = _sample_loop(velocity, vae, vae_params, BATCH, 32, NFE)
+    jitted = jax.jit(sample, donate_argnums=(0,))
+    best = _time_sampling(jitted, BATCH, 32)
+    sps = BATCH / best
+    flops = BATCH * (NFE * DIT_L2_FWD_FLOPS_PER_SAMPLE + VAE_DECODE_FLOPS_PER_SAMPLE)
+    return {"samples_per_sec_fused": round(sps, 4),
+            "sample_mfu_fused": round(flops / best / V5E_BF16_PEAK_FLOPS, 4)}
+
+
+def stage_dopri5():
+    """The BASELINE.md metric: dopri5 adaptive sampling (atol=rtol=1e-5,
+    reference test_flow_latent.py:42-76 defaults) on deterministically
+    perturbed weights. A randomly-initialised DiT is adaLN-zero => v==0 and
+    adaptive control degenerates; perturbing every param with 0.3*N(0,1)
+    noise puts the field in the NFE regime of trained checkpoints
+    (~O(100-250), reference --compute_nfe at test_flow_latent.py:196-221)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lfm_tpu.ode import odeint
+    from lfm_tpu.vae.autoencoder_kl import AutoencoderKL
+
+    model, params, vae, vae_params = _dit_and_vae(use_flash=True)
+    key = jax.random.PRNGKey(42)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(key, len(leaves))
+    leaves = [p + 0.3 * jax.random.normal(k, p.shape, p.dtype)
+              for p, k in zip(leaves, keys)]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    def velocity(t, x):
+        tb = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x.shape[0],))
+        return model.apply(params, tb, x)
+
+    def sample(noise):
+        res = odeint(velocity, noise, 1.0, 0.0, method="dopri5",
+                     atol=1e-5, rtol=1e-5)
         img = vae.apply(vae_params, res.y / 0.18215, method=AutoencoderKL.decode)
         img = jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
-        # scalar checksum: forces full execution with a tiny host transfer
-        return jnp.float32(img.sum())
+        return jnp.float32(img.sum()), res.nfe
 
-    jitted = jax.jit(sample, donate_argnums=(2,))
+    jitted = jax.jit(sample, donate_argnums=(0,))
 
-    # fresh donated noise buffer per call
+    nfe = None
     for _ in range(WARMUP):
         buf = jax.random.normal(jax.random.PRNGKey(3), (BATCH, 32, 32, 4))
-        float(jitted(params, vae_params, buf))
+        s, nfe = jitted(buf)
+        float(s)
     times = []
     for _ in range(REPS):
         buf = jax.random.normal(jax.random.PRNGKey(3), (BATCH, 32, 32, 4))
-        float(jnp.float32(buf[0, 0, 0, 0]))  # materialize before timing
+        float(jnp.float32(buf[0, 0, 0, 0]))
         t0 = time.perf_counter()
-        float(jitted(params, vae_params, buf))
+        s, nfe = jitted(buf)
+        float(s)
         times.append(time.perf_counter() - t0)
     best = min(times)
-    sps = BATCH / best
-    flops = BATCH * (NFE * DIT_L2_FWD_FLOPS_PER_SAMPLE + VAE_DECODE_FLOPS_PER_SAMPLE)
-    mfu = flops / best / V5E_BF16_PEAK_FLOPS
-    return sps, mfu, best
+    return {"dopri5_nfe": int(nfe),
+            "dopri5_samples_per_sec": round(BATCH / best, 4),
+            "dopri5_nfe_normalized_samples_per_sec":
+                round(BATCH / best * int(nfe) / NFE, 4)}
 
 
-def bench_training():
+def stage_train():
     """Sustained train-step time: FM loss + backward + one-pass fused
     AdamW/EMA on latent data (DiT-L/2, remat(dots), bf16) — reference
     train_flow_latent.py:135-170. Steps are chained with a single scalar
     sync at the end (CHAIN steps per timing), matching how the real loop
     dispatches; a per-step sync would add the ~25 ms tunnel round-trip,
     which is measurement overhead, not device time."""
+    import jax
+    import jax.numpy as jnp
+
     from lfm_tpu.core.config import TrainConfig
     from lfm_tpu.nn.dit import create_dit
     from lfm_tpu.train.state import (create_train_state, make_fused_adamw_ema,
@@ -145,6 +266,7 @@ def bench_training():
     cfg = TrainConfig(lr=1e-4, no_lr_decay=True, use_ema=True)
     tx = make_optimizer(cfg, steps_per_epoch=100)
     state = create_train_state(params, cfg, steps_per_epoch=100)
+    del params
 
     def model_apply(p, t, z, y, rngs=None):
         return model.apply(p, t, z, y)
@@ -159,7 +281,6 @@ def bench_training():
                                     (TRAIN_BATCH, 32, 32, 4))}
     key = jax.random.PRNGKey(5)
 
-    # warmup + timing; state is donated so thread it through
     state, m = jstep(state, batch, key)
     _ = float(m.loss)
     times = []
@@ -173,27 +294,140 @@ def bench_training():
     # model-FLOPs MFU convention: train = 3x forward (remat recompute and
     # the optimizer/EMA elementwise pass are excluded)
     mfu = 3 * TRAIN_BATCH * DIT_L2_FWD_FLOPS_PER_SAMPLE / best / V5E_BF16_PEAK_FLOPS
-    return 1.0 / best, TRAIN_BATCH / best, mfu
+    return {"train_steps_per_sec": round(1.0 / best, 3),
+            "train_samples_per_sec": round(TRAIN_BATCH / best, 2),
+            "train_mfu": round(mfu, 4),
+            "train_config": "DiT-L/2 latent bs32 remat(dots) bf16 AdamW+EMA"}
+
+
+def _adm_stage(preset_name, batch, nfe, key_prefix):
+    """Shared ADM sampling stage: velocity net from the preset's ModelConfig
+    (origin ADM UNet, reference test_args/<preset>.txt shapes), euler
+    integration + VAE decode, samples/sec."""
+    import jax
+    import jax.numpy as jnp
+
+    from lfm_tpu.core.config import get_preset
+    from lfm_tpu.nn.factory import create_network
+    from lfm_tpu.vae.autoencoder_kl import AutoencoderKL
+
+    cfg = get_preset(preset_name)
+    mc = cfg.model
+    model = create_network(mc, dtype=jnp.bfloat16, use_flash=True)
+    hw = mc.latent_size
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1,)),
+                        jnp.zeros((1, hw, hw, mc.num_in_channels)), None)
+    vae = AutoencoderKL(dtype=jnp.bfloat16)
+    vae_params = vae.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)), jax.random.PRNGKey(2)
+    )
+
+    def velocity(t, x):
+        tb = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x.shape[0],))
+        return model.apply(params, tb, x)
+
+    sample = _sample_loop(velocity, vae, vae_params, batch, hw, nfe)
+    jitted = jax.jit(sample, donate_argnums=(0,))
+    best = _time_sampling(jitted, batch, hw)
+    return {f"{key_prefix}_samples_per_sec": round(batch / best, 4),
+            f"{key_prefix}_config": f"origin ADM bs{batch} euler NFE={nfe} bf16"}
+
+
+def stage_adm256():
+    return _adm_stage("celeb256_adm", batch=32, nfe=NFE, key_prefix="adm256")
+
+
+def stage_adm512():
+    """celeb512: 64x64 latents; the flash-attention kernel runs at T=4096
+    (reference test_args/celeb512_adm.txt, attn at ds=1 of the 64px latent)."""
+    return _adm_stage("celeb512_adm", batch=8, nfe=50, key_prefix="adm512")
+
+
+# --------------------------------------------------------------------------
+# parent orchestration
+# --------------------------------------------------------------------------
+
+def _emit(value, unit_note, extra):
+    print(json.dumps({
+        "metric": "celeb256_dit_samples_per_sec_per_chip",
+        "value": round(value, 4),
+        "unit": "samples/sec (DiT-L/2, 100-NFE euler + VAE decode, bf16, "
+                f"batch {BATCH}{unit_note})",
+        "vs_baseline": round(value / A100_BASELINE_SAMPLES_PER_SEC, 3),
+        "extra": extra,
+    }), flush=True)
+
+
+def _run_stage(name, remaining):
+    hard = int(min(remaining, STAGE_EST[name] * 2.5))
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage", name],
+            capture_output=True, text=True, timeout=hard,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        print(f"[bench] stage {name} timed out after {hard}s", file=sys.stderr)
+        return None, time.time() - t0
+    if proc.returncode != 0:
+        tail = (proc.stderr or "")[-2000:]
+        print(f"[bench] stage {name} rc={proc.returncode}: {tail}",
+              file=sys.stderr)
+        return None, time.time() - t0
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line), time.time() - t0
+        except (json.JSONDecodeError, ValueError):
+            continue
+    print(f"[bench] stage {name} printed no JSON", file=sys.stderr)
+    return None, time.time() - t0
 
 
 def main():
-    sps, sample_mfu, _ = bench_sampling()
-    train_sps, train_samples, train_mfu = bench_training()
-    extra = {
-        "sample_mfu": round(sample_mfu, 4),
-        "train_steps_per_sec": round(train_sps, 3),
-        "train_samples_per_sec": round(train_samples, 2),
-        "train_mfu": round(train_mfu, 4),
-        "train_config": "DiT-L/2 latent bs32 remat(dots) bf16 AdamW+EMA",
-    }
-    print(json.dumps({
-        "metric": "celeb256_dit_samples_per_sec_per_chip",
-        "value": round(sps, 4),
-        "unit": "samples/sec (DiT-L/2, 100-NFE euler + VAE decode, bf16, batch 64)",
-        "vs_baseline": round(sps / A100_BASELINE_SAMPLES_PER_SEC, 3),
-        "extra": extra,
-    }))
+    start = time.time()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    only = os.environ.get("BENCH_STAGES")  # comma-list override
+    stages = [s for s in (only.split(",") if only else STAGES) if s in STAGE_EST]
+
+    value = 0.0
+    unit_note = ""
+    extra = {}
+    skipped = []
+    for name in stages:
+        remaining = budget - (time.time() - start)
+        if remaining < STAGE_EST[name] * 1.2:
+            skipped.append(name)
+            continue
+        result, dur = _run_stage(name, remaining)
+        print(f"[bench] stage {name}: {dur:.0f}s -> {result}", file=sys.stderr)
+        if result is None:
+            continue
+        extra.update(result)
+        if name == "sampling":
+            value = result["samples_per_sec"]
+        elif name == "fused" and result["samples_per_sec_fused"] > value:
+            value = result["samples_per_sec_fused"]
+            unit_note = ", fused Pallas DiT block"
+            extra["sample_mfu"] = result["sample_mfu_fused"]
+        if value > 0:
+            if skipped:
+                extra["skipped"] = ",".join(skipped)
+            _emit(value, unit_note, extra)
+    if skipped:
+        extra["skipped"] = ",".join(skipped)
+    if value > 0:
+        _emit(value, unit_note, extra)
+    else:
+        # nothing landed: still print a parseable record
+        _emit(0.0, ", NO STAGE COMPLETED", extra)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        fn = {"sampling": stage_sampling, "fused": stage_fused,
+              "train": stage_train, "dopri5": stage_dopri5,
+              "adm256": stage_adm256, "adm512": stage_adm512}[sys.argv[2]]
+        print(json.dumps(fn()), flush=True)
+    else:
+        main()

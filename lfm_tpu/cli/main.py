@@ -72,6 +72,10 @@ def _build_parser():
     t.add_argument("--tp", type=int, default=None, help="tensor-parallel mesh axis")
     t.add_argument("--precision", type=str, default=None, choices=["bf16", "f32"])
     t.add_argument("--max_steps", type=int, default=None)
+    t.add_argument("--remat_policy", type=str, default=None,
+                   choices=["dots", "all_dots"],
+                   help="gradient-checkpoint policy for remat'd blocks "
+                        "(default: full-block remat)")
 
     ti = sub.add_parser("train-inpainting")
     common(ti)
@@ -125,8 +129,13 @@ def _build_parser():
         s.add_argument("--rtol", type=float, default=None)
         s.add_argument("--cfg_scale", type=float, default=None)
         s.add_argument("--use_karras_samplers", action="store_true", default=None)
-        s.add_argument("--no_fused_dit", action="store_true", default=None,
-                       help="disable the fused Pallas DiT sampling kernel")
+        fd = s.add_mutually_exclusive_group()
+        fd.add_argument("--fused_dit", action="store_true", default=None,
+                        help="force-enable the fused Pallas DiT sampling "
+                             "kernel (overrides an argfile/preset that "
+                             "disabled it)")
+        fd.add_argument("--no_fused_dit", action="store_true", default=None,
+                        help="disable the fused Pallas DiT sampling kernel")
         s.add_argument("--eval_noise", type=str, default=None,
                        help='adaptive noise floor: float or "auto" '
                             "(default: per-method policy)")
@@ -185,6 +194,7 @@ def _resolve_config(args):
             generator=args.generator, real_img_dir=args.real_img_dir,
             output_log=args.output_log,
             use_fused_dit=(False if getattr(args, "no_fused_dit", None)
+                           else True if getattr(args, "fused_dit", None)
                            else None),
             eval_noise=(None if getattr(args, "eval_noise", None) is None
                         else "auto" if args.eval_noise == "auto"
@@ -203,6 +213,7 @@ def _resolve_config(args):
             resume=args.resume, precision=args.precision,
             batch_size=args.batch_size, seed=args.seed,
             model_ckpt=args.model_ckpt,
+            remat_policy=args.remat_policy,
         )
     data = over(config.data, dataset=args.dataset, datadir=args.datadir)
     mesh = over(config.mesh, dp=args.dp, fsdp=args.fsdp, tp=args.tp)

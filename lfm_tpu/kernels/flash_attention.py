@@ -13,8 +13,11 @@ over (batch*heads, q-blocks) and an online-softmax loop over k-blocks.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
+import threading
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -256,12 +259,34 @@ def _small_shape_ok(q) -> bool:
     return t <= 1024 and (3 * t * h * d * 4 + t * t * 4) < 96 * 1024 * 1024
 
 
+_ASSUME_LOCAL = threading.local()
+
+
+@contextlib.contextmanager
+def assume_local_devices():
+    """Trace-time gate override for shard_map bodies: inside a shard_map the
+    per-shard computation has single-device semantics, but the global
+    ``jax.device_count()`` is still the mesh size, which would wrongly send
+    dispatch to the XLA path. Callers that trace the model INSIDE a
+    shard_map (train.shard_mapped_model_apply, sample/sharded.py) wrap the
+    apply in this context so the Pallas kernels engage per-shard. Mirrors
+    ``dit_fused.fused_applicable(assume_local=True)`` on the sampling side."""
+    prev = getattr(_ASSUME_LOCAL, "on", False)
+    _ASSUME_LOCAL.on = True
+    try:
+        yield
+    finally:
+        _ASSUME_LOCAL.on = prev
+
+
 def _pallas_ok() -> bool:
-    """Pallas dispatch gate: TPU backend AND a single device. Under SPMD
-    over a multi-device mesh a pallas_call needs explicit shard_map
-    partitioning — until that wiring exists, multi-chip programs take the
-    XLA path (which the partitioner handles natively)."""
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    """Pallas dispatch gate: TPU backend AND single-device semantics —
+    either one global device, or tracing inside a shard_map body (see
+    ``assume_local_devices``), where a pallas_call is already partitioned
+    per-shard by construction."""
+    if jax.default_backend() != "tpu":
+        return False
+    return jax.device_count() == 1 or getattr(_ASSUME_LOCAL, "on", False)
 
 
 def _dispatch_attention(q, k, v):

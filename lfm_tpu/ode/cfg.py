@@ -40,10 +40,12 @@ def cfg_velocity(
         cond, uncond = out[:n], out[n:]
         if guide_channels is None:
             return uncond + cfg_scale * (cond - uncond)
-        eps_c, rest = cond[:, :guide_channels], cond[:, guide_channels:]
-        eps_u = uncond[:, :guide_channels]
+        # NHWC: channels are the LAST axis in this repo (nn/dit.py:252-257
+        # slices the same way); guiding axis 1 would slice H, not C.
+        eps_c, rest = cond[..., :guide_channels], cond[..., guide_channels:]
+        eps_u = uncond[..., :guide_channels]
         eps = eps_u + cfg_scale * (eps_c - eps_u)
-        return jnp.concatenate([eps, rest], axis=1)
+        return jnp.concatenate([eps, rest], axis=-1)
 
     return v
 

@@ -58,6 +58,12 @@ def build_velocity(model, params, y: Optional[jnp.ndarray], cfg_scale: float,
                 if bf16_params is None:
                     bf16_params = cast_params_bf16(params)
                 return dit_fused_apply(model, bf16_params, t, x, yy)
+            if shard_mesh is not None:
+                # per-shard body is single-device: let flash-attention's
+                # Pallas dispatch engage (kernels/flash_attention.py)
+                from lfm_tpu.kernels.flash_attention import assume_local_devices
+                with assume_local_devices():
+                    return model.apply(params, t, x, yy)
             return model.apply(params, t, x, yy)
 
         if shard_mesh is None:

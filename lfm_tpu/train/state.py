@@ -40,15 +40,34 @@ def cosine_epoch_schedule(cfg: TrainConfig, steps_per_epoch: int):
     return schedule
 
 
+def _decays(path) -> bool:
+    """Weight-decay mask predicate over a param key path. The frozen random
+    Fourier features (``GaussianFourierProjection.W``, nn/variants.py) are
+    stop_gradient'd — torch registers them requires_grad=False so its
+    optimizer never touches them — but decoupled weight decay applies to
+    params regardless of their gradient, so without a mask any wd>0 would
+    decay the "frozen" features toward zero. ``W`` is the only param name
+    that module (and no other) uses."""
+    return not (path and getattr(path[-1], "key", None) == "W")
+
+
+def decay_mask(params):
+    """Pytree of bools: False where decoupled weight decay must be skipped."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: _decays(path), params)
+
+
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:
     """AdamW with the reference's betas/wd (train_flow_latent.py:84,320-321:
     lr per config, betas=(0.9, 0.999) — argparse beta1/beta2 defaults of
-    0.5/0.9 are never forwarded to AdamW in the reference; weight_decay=0)."""
+    0.5/0.9 are never forwarded to AdamW in the reference; weight_decay=0).
+    Frozen Fourier features are masked out of the decay term (``decay_mask``)."""
     return optax.adamw(
         learning_rate=cosine_epoch_schedule(cfg, steps_per_epoch),
         b1=0.9,
         b2=0.999,
         weight_decay=cfg.weight_decay,
+        mask=decay_mask if cfg.weight_decay else None,
     )
 
 
@@ -75,18 +94,22 @@ def _is_count_only(node) -> bool:
 
 
 def fused_supported(opt_state) -> bool:
-    """True iff ``opt_state`` is an optax.adamw-style chain tuple: exactly one
-    ScaleByAdamState plus count-only/empty states (the structure
-    ``make_optimizer`` produces and ``convert_optimizer`` understands)."""
-    n_adam = 0
-    for node in opt_state if isinstance(opt_state, tuple) else (opt_state,):
-        if isinstance(node, optax.ScaleByAdamState):
-            n_adam += 1
-        elif _is_count_only(node) or isinstance(node, optax.EmptyState):
-            continue
-        else:
-            return False
-    return n_adam == 1
+    """True iff ``opt_state`` has the EXACT chain structure ``make_optimizer``
+    produces: ``(ScaleByAdamState, EmptyState | MaskedState(EmptyState),
+    ScaleByScheduleState)`` — scale_by_adam -> add_decayed_weights (possibly
+    decay-masked) -> scale_by_learning_rate(schedule). Deliberately strict:
+    ``make_fused_adamw_ema`` hardcodes adamw semantics, so any future
+    transform added to the chain (e.g. clip_by_global_norm, whose state is an
+    EmptyState a looser gate would wave through) must fail the gate loudly
+    rather than be silently dropped from the fused update."""
+    if not (isinstance(opt_state, tuple) and len(opt_state) == 3):
+        return False
+    adam, wd_node, sched = opt_state
+    wd_ok = isinstance(wd_node, optax.EmptyState) or (
+        isinstance(wd_node, optax.MaskedState)
+        and isinstance(wd_node.inner_state, optax.EmptyState))
+    return (isinstance(adam, optax.ScaleByAdamState) and wd_ok
+            and isinstance(sched, optax.ScaleByScheduleState))
 
 
 def make_fused_adamw_ema(cfg: TrainConfig, steps_per_epoch: int, *,
@@ -121,19 +144,21 @@ def make_fused_adamw_ema(cfg: TrainConfig, steps_per_epoch: int, *,
         c1 = 1.0 - b1 ** count_inc
         c2 = 1.0 - b2 ** count_inc
 
-        def leaf(p, g, m, v, e):
+        def leaf(p, g, m, v, e, decays_leaf):
             g = g.astype(m.dtype)
             m2 = b1 * m + (1.0 - b1) * g
             v2 = b2 * v + (1.0 - b2) * jnp.square(g)
             u = (m2 / c1) / (jnp.sqrt(v2 / c2) + eps)
-            if wd:
+            if wd and decays_leaf:
                 u = u + wd * p
             p2 = p - lr.astype(p.dtype) * u
             e2 = ema_decay * e + (1.0 - ema_decay) * p2 if use_ema else p2
             return p2, m2, v2, e2, jnp.sum(jnp.square(g.astype(jnp.float32)))
 
+        # same decay mask as make_optimizer (frozen Fourier W excluded)
+        mask = decay_mask(params)
         zipped = jax.tree_util.tree_map(leaf, params, grads, adam.mu, adam.nu,
-                                        ema_params)
+                                        ema_params, mask)
         is_l = lambda t: isinstance(t, tuple)
         pick = lambda i: jax.tree_util.tree_map(lambda t: t[i], zipped,
                                                 is_leaf=is_l)

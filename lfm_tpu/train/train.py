@@ -109,7 +109,11 @@ def shard_mapped_model_apply(model, mesh: Mesh, *, train: bool = True):
 
     def model_apply(p, t, z, y, rngs=None):
         def local(p_, t_, z_, y_):
-            return model.apply(p_, t_, z_, y_, train=train)
+            # per-shard body has single-device semantics: enable the Pallas
+            # attention dispatch (fused_attention fwd+bwd) inside the shard
+            from lfm_tpu.kernels.flash_attention import assume_local_devices
+            with assume_local_devices():
+                return model.apply(p_, t_, z_, y_, train=train)
 
         if y is None:
             fn = jax.shard_map(

@@ -258,14 +258,12 @@ def test_vae_converter_structure_matches_init():
 
 @pytest.mark.skipif(not __import__("os").path.isdir("/root/reference"),
                     reason="reference repo not mounted")
-def test_dit_parity_vs_reference_torch_code():
-    """Run the reference's actual models/DiT.py (its timm dependency shimmed
-    with standard torch implementations of PatchEmbed/Attention/Mlp) and
-    compare against the converted flax DiT."""
+def _import_reference_dit():
+    """Import the reference's actual models/DiT.py with its timm dependency
+    shimmed by standard torch implementations of PatchEmbed/Attention/Mlp."""
     import sys
     import types
 
-    import torch
     import torch.nn as tnn
 
     class _PatchEmbed(tnn.Module):
@@ -323,6 +321,16 @@ def test_dit_parity_vs_reference_torch_code():
         sys.path.insert(0, "/root/reference")
     from models.DiT import DiT_models
 
+    return DiT_models
+
+
+def test_dit_parity_vs_reference_torch_code():
+    """Run the reference's actual models/DiT.py against the converted flax
+    DiT (activation parity)."""
+    import torch
+
+    DiT_models = _import_reference_dit()
+
     torch.manual_seed(0)
     ref = DiT_models["DiT-S/2"](img_resolution=8, in_channels=4,
                                 label_dropout=0.0, num_classes=1)
@@ -346,3 +354,62 @@ def test_dit_parity_vs_reference_torch_code():
     got = mine.apply(params, jnp.asarray(t), jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
                                rtol=5e-4, atol=5e-5)
+
+
+def test_cfg_learn_sigma_parity_vs_reference_forward_with_cfg():
+    """learn_sigma=True CFG: guidance applies only to the first in_channels;
+    the sigma tail passes through unguided (reference models/DiT.py:274-290).
+    Pins the NHWC guide_channels slice in ode/cfg.py (channels are the LAST
+    axis here) and DiT.forward_with_cfg against the reference torch code."""
+    import torch
+
+    DiT_models = _import_reference_dit()
+
+    torch.manual_seed(1)
+    # label_dropout>0 allocates the CFG null-class row (models/DiT.py:75-79);
+    # dropout itself is inert at eval / in flax's deterministic apply
+    ref = DiT_models["DiT-S/2"](img_resolution=8, in_channels=4,
+                                label_dropout=0.1, num_classes=10,
+                                learn_sigma=True)
+    ref.eval()
+    with torch.no_grad():
+        for p in ref.parameters():
+            if p.requires_grad and p.abs().sum() == 0:
+                p.copy_(torch.randn_like(p) * 0.05)
+
+    from lfm_tpu.nn.dit import DIT_CONFIGS, DiT
+    from lfm_tpu.ode.cfg import cfg_velocity
+
+    depth, hidden, patch, heads = DIT_CONFIGS["DiT-S/2"]
+    mine = DiT(img_resolution=8, patch_size=patch, in_channels=4,
+               hidden_size=hidden, depth=depth, num_heads=heads,
+               num_classes=10, label_dropout=0.1, learn_sigma=True)
+    params = convert_dit_state_dict(ref.state_dict(), depth=depth,
+                                    scan_blocks=True)
+
+    rng = np.random.default_rng(11)
+    n = 2
+    half = rng.normal(size=(n, 4, 8, 8)).astype(np.float32)
+    x2 = np.concatenate([half, half], axis=0)
+    y2 = np.array([3, 7, 10, 10], np.int64)  # null class == num_classes
+    t2 = np.full((2 * n,), 0.5, np.float32)
+
+    with torch.no_grad():
+        want = ref.forward_with_cfg(torch.from_numpy(t2), torch.from_numpy(x2),
+                                    torch.from_numpy(y2), cfg_scale=1.5).numpy()
+    assert want.shape == (2 * n, 8, 8, 8)
+
+    got = mine.forward_with_cfg(
+        params, jnp.asarray(t2), jnp.asarray(x2.transpose(0, 2, 3, 1)),
+        jnp.asarray(y2), cfg_scale=1.5)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               rtol=5e-4, atol=5e-5)
+
+    # cfg_velocity (half-state batching, sample/sample.py path) must agree
+    # with the doubled-batch reference on the first half
+    apply = lambda tt, xx, yy: mine.apply(params, tt, xx, yy)
+    v = cfg_velocity(apply, jnp.asarray(y2[:n]), jnp.asarray(y2[n:]),
+                     cfg_scale=1.5, guide_channels=4)
+    got_half = v(0.5, jnp.asarray(half.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got_half).transpose(0, 3, 1, 2),
+                               want[:n], rtol=5e-4, atol=5e-5)

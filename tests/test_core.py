@@ -106,3 +106,27 @@ def test_process_sample_shard():
     assert total % (200 * 8) == 0
     assert total >= 50000
     assert steps == total // 1600
+
+
+def test_cli_remat_policy_and_fused_dit_flags():
+    """--remat_policy reaches TrainConfig; --fused_dit/--no_fused_dit are a
+    symmetric override pair (ADVICE r2: only the disable direction existed,
+    and remat_policy was reachable via presets only)."""
+    import pytest
+
+    from lfm_tpu.cli.main import _build_parser, _resolve_config
+
+    p = _build_parser()
+    cfg = _resolve_config(p.parse_args(["train", "--remat_policy", "all_dots"]))
+    assert cfg.train.remat_policy == "all_dots"
+    cfg = _resolve_config(p.parse_args(["train"]))
+    assert cfg.train.remat_policy is None
+
+    assert _resolve_config(
+        p.parse_args(["sample", "--no_fused_dit"])).sample.use_fused_dit is False
+    assert _resolve_config(
+        p.parse_args(["sample", "--fused_dit"])).sample.use_fused_dit is True
+    with pytest.raises(SystemExit):
+        p.parse_args(["sample", "--fused_dit", "--no_fused_dit"])
+    with pytest.raises(SystemExit):
+        p.parse_args(["train", "--remat_policy", "bogus"])

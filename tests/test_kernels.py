@@ -186,3 +186,25 @@ def test_attention_small_interpret_mode_parity():
     want = reference_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_gate_assume_local(monkeypatch):
+    """Inside a shard_map body device_count() is still the mesh size, so the
+    dispatch gate must honor the assume_local context (ADVICE r2: without it
+    the train-side shard_map wrapper never engaged the Pallas kernels)."""
+    from lfm_tpu.kernels import flash_attention as fa
+
+    monkeypatch.setattr(fa.jax, "default_backend", lambda: "tpu")
+    # CPU suite runs with 8 virtual devices -> gate closed by default
+    assert fa.jax.device_count() == 8
+    assert not fa._pallas_ok()
+    with fa.assume_local_devices():
+        assert fa._pallas_ok()
+        with fa.assume_local_devices():
+            assert fa._pallas_ok()
+        assert fa._pallas_ok()  # nesting restores, not clears
+    assert not fa._pallas_ok()
+    # off-TPU the context must NOT open the gate
+    monkeypatch.setattr(fa.jax, "default_backend", lambda: "cpu")
+    with fa.assume_local_devices():
+        assert not fa._pallas_ok()

@@ -194,3 +194,43 @@ def test_unet_upsampler_construct_and_forward():
     w = np.asarray(p["params"]["W"])
     np.testing.assert_allclose(np.asarray(e[0, :8]), np.sin(2 * np.pi * w),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fourier_w_excluded_from_weight_decay():
+    """GaussianFourierProjection.W is stop_gradient-frozen; torch keeps it
+    requires_grad=False so AdamW never touches it. Decoupled weight decay
+    acts on params irrespective of grads, so both the optax chain and the
+    fused update must mask W out of the decay term (ADVICE r2)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lfm_tpu.core.config import TrainConfig
+    from lfm_tpu.train.state import (create_train_state, decay_mask,
+                                     make_fused_adamw_ema, make_optimizer)
+
+    params = {"params": {"time_emb": {"W": jnp.full((4,), 2.0)},
+                         "dense": {"kernel": jnp.full((3, 3), 1.0)}}}
+    mask = decay_mask(params)
+    assert mask["params"]["time_emb"]["W"] is False
+    assert mask["params"]["dense"]["kernel"] is True
+
+    cfg = TrainConfig(lr=1e-2, weight_decay=0.1, no_lr_decay=True, use_ema=True)
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)  # W grad == 0
+
+    tx = make_optimizer(cfg, 10)
+    state = create_train_state(params, cfg, 10)
+    upd, new_opt = tx.update(grads, state.opt_state, params)
+    new_params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+    np.testing.assert_allclose(
+        np.asarray(new_params["params"]["time_emb"]["W"]), 2.0)
+    # the decaying param DID move under zero grads (decay term active)
+    assert float(jnp.abs(
+        new_params["params"]["dense"]["kernel"] - 1.0).max()) > 0
+
+    fused = make_fused_adamw_ema(cfg, 10, use_ema=True)
+    p_f, _, _, _ = fused(state.opt_state, params, grads, state.ema_params)
+    np.testing.assert_allclose(np.asarray(p_f["params"]["time_emb"]["W"]), 2.0)
+    np.testing.assert_allclose(np.asarray(p_f["params"]["dense"]["kernel"]),
+                               np.asarray(new_params["params"]["dense"]["kernel"]),
+                               rtol=1e-6)
