@@ -19,8 +19,12 @@ pages; pages 0/1 are meta (magic 0xBEEFC0DE, pick the larger txnid); the
 main DB root is a B+tree of branch/leaf pages; node pointers are little-
 endian u16 offsets; values larger than the in-page maximum live on
 P_OVERFLOW page runs referenced by F_BIGDATA nodes. Reader and writer are
-round-trip tested against each other (the C binding is unavailable in this
-environment for cross-validation — the struct offsets follow lmdb.h).
+round-trip tested against each other AND the reader is cross-validated
+against a database minilmdb did not write: a byte-by-byte hand assembly from
+the liblmdb header layout (tools/make_lmdb_fixture.py, committed at
+tests/fixtures/lmdb_handmade/) with scrambled physical node order, a stale
+second meta page and an overflow run — the C binding itself is unavailable
+in this environment.
 """
 
 from __future__ import annotations

@@ -155,3 +155,65 @@ def test_image_lmdb_dataset_read_loop(tmp_path):
     assert len(ds) == 4
     x, y = ds[2]
     assert x.shape == (64, 64, 3) and y == 0
+
+
+# ---------------------------------------------------------------------------
+# Cross-validation against a database minilmdb did NOT write: the committed
+# fixture is hand-assembled byte-by-byte from the liblmdb header layout
+# (tools/make_lmdb_fixture.py), with scrambled physical node order, a stale
+# second meta page, branch-before-overflow page numbering, and an odd-sized
+# node — none of which minilmdb.write_db produces.
+# ---------------------------------------------------------------------------
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "lmdb_handmade")
+
+
+def _fixture_items():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "make_lmdb_fixture",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "make_lmdb_fixture.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.ITEMS, mod.build()
+
+
+def test_reader_parses_handmade_fixture():
+    items, blob = _fixture_items()
+    # the committed binary must BE the spec build (regenerate via
+    # tools/make_lmdb_fixture.py if this ever drifts)
+    with open(os.path.join(FIXTURE, "data.mdb"), "rb") as f:
+        assert f.read() == blob
+
+    env = minilmdb.open(FIXTURE)
+    with env.begin() as txn:
+        for k, v in items:
+            assert txn.get(k) == v, k
+        assert txn.get(b"missing") is None
+        assert txn.get(b"") is None
+        st = txn.stat()
+        assert st["entries"] == 5 and st["depth"] == 2
+        assert st["branch_pages"] == 1 and st["leaf_pages"] == 2
+        assert st["overflow_pages"] == 2
+        # newest meta wins: the stale meta (txnid 1) says 3 entries/root 2
+        got = list(txn.cursor().iternext(keys=True, values=True))
+        assert got == [(k, v) for k, v in items]
+        keys_only = list(txn.cursor().iternext(keys=True, values=False))
+        assert keys_only == [k for k, _ in items]
+    env.close()
+
+
+def test_lsun_style_key_iteration_over_fixture():
+    """The LSUN path (reference lsun.py:26-67) opens the env and caches all
+    keys via cursor().iternext(keys=True, values=False) — drive the same
+    call pattern data/lmdb_datasets.py:97 uses."""
+    env = minilmdb.open(os.path.join(FIXTURE, "data.mdb"))
+    with env.begin(write=False) as txn:
+        keys = [k for k in txn.cursor().iternext(keys=True, values=False)]
+        assert keys == [b"0", b"1", b"2", b"3x", b"zz-big"]
+        # per-key fetch like LSUNClass.__getitem__
+        val = txn.get(keys[-1])
+        assert len(val) == 6000 and val[:4] == bytes((3, 10, 17, 24))
+    env.close()
