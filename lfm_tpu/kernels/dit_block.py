@@ -93,10 +93,12 @@ def _dit_block_kernel(x_ref, mod_ref, wqkv_ref, bqkv_ref, wproj_ref,
         q = qkv[:, qs].reshape(s_cnt, t, head_dim)
         k = qkv[:, ks].reshape(s_cnt, t, head_dim)
         v = qkv[:, vs].reshape(s_cnt, t, head_dim)
+        # bf16 operands hit the MXU at full rate; f32 accumulate keeps the
+        # softmax logits exact enough (upcasting first halves throughput)
         logits = scale * jax.lax.dot_general(
-            q.astype(jnp.float32), k.astype(jnp.float32),
-            (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
-        )  # (S, T, T)
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (S, T, T) f32
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)

@@ -31,25 +31,26 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int, scale: float):
 
     q_ref: (1, BQ, D); k_ref/v_ref: (1, T, D); o_ref: (1, BQ, D).
     """
-    q = q_ref[0].astype(jnp.float32) * scale  # (BQ, D)
+    q = q_ref[0]  # (BQ, D) — native dtype into the MXU (bf16 full rate)
     t = k_ref.shape[1]
     bq, d = q.shape
     num_kb = t // bk
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(i * bk, bk), :].astype(jnp.float32)  # (BK, D)
-        v = v_ref[0, pl.ds(i * bk, bk), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
+        k = k_ref[0, pl.ds(i * bk, bk), :]  # (BK, D)
+        v = v_ref[0, pl.ds(i * bk, bk), :]
+        s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (BQ, BK)
+        )  # (BQ, BK) f32
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return acc, m_new, l_new
 
@@ -139,19 +140,21 @@ def _attn_small_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     heads are static lane slices of the slab (Mosaic rejects squeezing a
     middle dim of a 4D block, so the (H, D) split stays implicit)."""
     qs, ks, vs = q_ref[0], k_ref[0], v_ref[0]
+    # bf16 operands feed the MXU natively (bf16 x bf16 -> f32 accumulate at
+    # full rate); upcasting to f32 first would force the slow multi-pass f32
+    # MXU path. Softmax statistics stay f32 either way.
     for h in range(heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        q = qs[:, sl].astype(jnp.float32) * scale  # (T, D)
-        k = ks[:, sl].astype(jnp.float32)
-        v = vs[:, sl].astype(jnp.float32)
-        s = jax.lax.dot_general(
+        q, k, v = qs[:, sl], ks[:, sl], vs[:, sl]  # (T, D) each
+        s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (T, T)
+        )  # (T, T) f32
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
 
@@ -193,25 +196,28 @@ def _attn_small_bwd_kernel(q_ref, k_ref, v_ref, do_ref,
     the forward either, so the backward stays HBM-minimal (reads q/k/v/do
     slabs, writes dq/dk/dv slabs; ~2.5x forward FLOPs)."""
     qs, ks, vs, dos = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    # Matmul operands stay in the input dtype (bf16 x bf16 -> f32 MXU
+    # accumulate at full rate — upcasting first forces the slow f32 path);
+    # softmax and the ds correction are f32. p/ds are rounded to the input
+    # dtype before their dots, the same rounding XLA's own autodiff of
+    # reference_attention applies to its bf16 probs.
     for h in range(heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        q = qs[:, sl].astype(jnp.float32)
-        k = ks[:, sl].astype(jnp.float32)
-        v = vs[:, sl].astype(jnp.float32)
-        do = dos[:, sl].astype(jnp.float32)
+        q, k, v, do = qs[:, sl], ks[:, sl], vs[:, sl], dos[:, sl]
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (T, T)
+        )  # (T, T) f32
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
+        pc = p.astype(q.dtype)
         dv = jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            pc, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # p^T do: (T, D)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # do v^T: (T, T)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))).astype(q.dtype)
         dq = scale * jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
