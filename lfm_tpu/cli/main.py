@@ -73,9 +73,10 @@ def _build_parser():
     t.add_argument("--precision", type=str, default=None, choices=["bf16", "f32"])
     t.add_argument("--max_steps", type=int, default=None)
     t.add_argument("--remat_policy", type=str, default=None,
-                   choices=["dots", "all_dots"],
+                   choices=["dots", "all_dots", "dots_attn"],
                    help="gradient-checkpoint policy for remat'd blocks "
-                        "(default: full-block remat)")
+                        "(default: full-block remat; dots_attn also saves "
+                        "the attention output — fastest measured on v5e)")
 
     ti = sub.add_parser("train-inpainting")
     common(ti)

@@ -43,6 +43,14 @@ REMAT_POLICIES = {
     None: None,
     "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
     "all_dots": jax.checkpoint_policies.dots_saveable,
+    # "dots" + the named attention output (layers.py Attention): without it
+    # the Pallas attention fwd re-runs inside backward (it is a pallas_call,
+    # not a saveable dot). Costs 16.8 MB/block bf16 at the bs32 north-star
+    # shape; measured the fastest training policy on v5e (round 3).
+    "dots_attn": jax.checkpoint_policies.save_from_both_policies(
+        jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        jax.checkpoint_policies.save_only_these_names("attn_out"),
+    ),
 }
 
 
@@ -167,6 +175,10 @@ class DiT(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     scan_blocks: bool = True
+    # lax.scan unroll factor for the block scan: >1 lets XLA overlap one
+    # block's weight DMA with the previous block's compute at the cost of a
+    # proportionally larger program (param layout is unchanged).
+    scan_unroll: int = 1
     remat: bool = False
     remat_policy: Optional[str] = None
 
@@ -212,6 +224,7 @@ class DiT(nn.Module):
                 split_rngs={"params": True},
                 in_axes=nn.broadcast,
                 length=self.depth,
+                unroll=self.scan_unroll,
                 metadata_params={nn.meta.PARTITION_NAME: None},
             )
             x, _ = ScannedBlocks(
@@ -261,7 +274,7 @@ def create_dit(model_type: str, *, img_resolution: int, in_channels: int = 4,
                label_dropout: float = 0.0, num_classes: Optional[int] = None,
                dtype: Dtype = jnp.float32, use_flash: bool = False,
                remat: bool = False, remat_policy: Optional[str] = None,
-               scan_blocks: bool = True) -> DiT:
+               scan_blocks: bool = True, scan_unroll: int = 1) -> DiT:
     """Factory matching the reference dispatch (models/__init__.py:12-17)."""
     depth, hidden, patch, heads = DIT_CONFIGS[model_type]
     return DiT(
@@ -278,4 +291,5 @@ def create_dit(model_type: str, *, img_resolution: int, in_channels: int = 4,
         remat=remat,
         remat_policy=remat_policy,
         scan_blocks=scan_blocks,
+        scan_unroll=scan_unroll,
     )

@@ -22,6 +22,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 Dtype = Any
 
@@ -174,6 +175,10 @@ class Attention(nn.Module):
             attn = jnp.einsum("nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32)
             attn = jax.nn.softmax(attn * scale, axis=-1).astype(self.dtype)
             out = jnp.einsum("nhqk,nkhd->nqhd", attn, v)
+        # The attention output is not a no-batch-dims dot, so the "dots"
+        # remat policy would re-run the whole kernel in backward; naming it
+        # lets the "dots_attn" policy (nn/dit.py) save it instead.
+        out = checkpoint_name(out, "attn_out")
 
         out = out.reshape(n, t, d)
         out = nn.Dense(d, dtype=self.dtype, name="proj",

@@ -154,8 +154,9 @@ def test_remat_policy_gradient_parity():
         return jax.grad(loss)(params)
 
     g_full = grads(None)
-    g_dots = grads("dots")
-    for a, b in zip(jax.tree_util.tree_leaves(g_full),
-                    jax.tree_util.tree_leaves(g_dots)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-6)
+    for policy in ("dots", "dots_attn"):
+        g_pol = grads(policy)
+        for a, b in zip(jax.tree_util.tree_leaves(g_full),
+                        jax.tree_util.tree_leaves(g_pol)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
