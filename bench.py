@@ -49,12 +49,24 @@ import time
 
 A100_BASELINE_SAMPLES_PER_SEC = 0.5  # documented estimate, see module docstring
 V5E_BF16_PEAK_FLOPS = 197e12
-NFE = 100
-BATCH = 64
-TRAIN_BATCH = 32
-TRAIN_CHAIN = 8
+# Env-overridable for CPU smoke runs (e.g. BENCH_NFE=2 BENCH_BATCH=2
+# BENCH_ARCH=DiT-S/2 BENCH_STAGES=sampling JAX_PLATFORMS=cpu python bench.py);
+# defaults are the driver-recorded workload.
+NFE = int(os.environ.get("BENCH_NFE", "100"))
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+DIT_ARCH = os.environ.get("BENCH_ARCH", "DiT-L/2")
+TRAIN_BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "32"))
+TRAIN_CHAIN = int(os.environ.get("BENCH_TRAIN_CHAIN", "8"))
+# "none" | "dots" | "all_dots" — whether backward rematerializes each DiT
+# block. Measured (v5e, round 3): DiT-L/2 bs32 OOMs without remat (the
+# scanned blocks stack saved activations as [24, ...] tensors) and
+# "all_dots"=="dots" (0.479 vs 0.480 MFU) — elementwise recompute is free;
+# "dots" is the production default.
+TRAIN_REMAT = os.environ.get("BENCH_TRAIN_REMAT", "dots")
+TRAIN_FLASH = os.environ.get("BENCH_TRAIN_FLASH", "1") == "1"
+TRAIN_UNROLL = int(os.environ.get("BENCH_TRAIN_UNROLL", "1"))
 WARMUP = 1
-REPS = 3
+REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 # Exact per-sample forward FLOPs from XLA cost_analysis of LOOP-FREE
 # compilations (cost analysis counts lax.scan/while bodies ONCE, so the
@@ -86,16 +98,22 @@ STAGES = ["sampling", "fused", "train", "dopri5", "adm256", "adm512"]
 # it starts instantly)
 # --------------------------------------------------------------------------
 
-def _sample_loop(model_velocity, vae, vae_params, n, latent_hw, nfe):
-    """Build sample(noise)->checksum: euler integrate + VAE decode."""
+def _sample_loop(apply_velocity, vae, n, latent_hw, nfe):
+    """Build sample(noise, params, vae_params)->checksum: euler integrate +
+    VAE decode. Params flow as jit ARGUMENTS — closing over them bakes ~2GB
+    of constants into the HLO, which the remote axon compiler rejects
+    (CLAUDE.md environment rules)."""
     import jax.numpy as jnp
 
     from lfm_tpu.ode import odeint
     from lfm_tpu.vae.autoencoder_kl import AutoencoderKL
 
-    def sample(noise):
-        res = odeint(model_velocity, noise, 1.0, 0.0, method="euler",
-                     num_steps=nfe)
+    def sample(noise, params, vae_params):
+        def velocity(t, x):
+            tb = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x.shape[0],))
+            return apply_velocity(params, tb, x)
+
+        res = odeint(velocity, noise, 1.0, 0.0, method="euler", num_steps=nfe)
         img = vae.apply(vae_params, res.y / 0.18215, method=AutoencoderKL.decode)
         img = jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
         # scalar checksum: forces full execution with a tiny host transfer
@@ -104,23 +122,25 @@ def _sample_loop(model_velocity, vae, vae_params, n, latent_hw, nfe):
     return sample
 
 
-def _time_sampling(jitted, batch, latent_hw, chan=4):
+def _time_sampling(jitted, batch, latent_hw, *args, chan=4):
     """Warmup + best-of-REPS timing with fresh donated noise buffers;
-    sync via scalar transfer (axon block_until_ready no-ops)."""
+    sync via scalar transfer (axon block_until_ready no-ops). Extra *args
+    (params pytrees) are passed through to the jitted fn each call —
+    device-resident after the first, so no per-call transfer."""
     import jax
     import jax.numpy as jnp
 
     for _ in range(WARMUP):
         buf = jax.random.normal(jax.random.PRNGKey(3),
                                 (batch, latent_hw, latent_hw, chan))
-        float(jitted(buf))
+        float(jitted(buf, *args))
     times = []
     for _ in range(REPS):
         buf = jax.random.normal(jax.random.PRNGKey(3),
                                 (batch, latent_hw, latent_hw, chan))
         float(jnp.float32(buf[0, 0, 0, 0]))  # materialize before timing
         t0 = time.perf_counter()
-        float(jitted(buf))
+        float(jitted(buf, *args))
         times.append(time.perf_counter() - t0)
     return min(times)
 
@@ -132,7 +152,7 @@ def _dit_and_vae(use_flash=True):
     from lfm_tpu.nn.dit import create_dit
     from lfm_tpu.vae.autoencoder_kl import AutoencoderKL
 
-    model = create_dit("DiT-L/2", img_resolution=32, num_classes=1,
+    model = create_dit(DIT_ARCH, img_resolution=32, num_classes=1,
                        dtype=jnp.bfloat16, use_flash=use_flash)
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1,)), jnp.zeros((1, 32, 32, 4)), None
@@ -151,13 +171,9 @@ def stage_sampling():
 
     model, params, vae, vae_params = _dit_and_vae(use_flash=True)
 
-    def velocity(t, x):
-        tb = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x.shape[0],))
-        return model.apply(params, tb, x)
-
-    sample = _sample_loop(velocity, vae, vae_params, BATCH, 32, NFE)
+    sample = _sample_loop(model.apply, vae, BATCH, 32, NFE)
     jitted = jax.jit(sample, donate_argnums=(0,))
-    best = _time_sampling(jitted, BATCH, 32)
+    best = _time_sampling(jitted, BATCH, 32, params, vae_params)
     sps = BATCH / best
     flops = BATCH * (NFE * DIT_L2_FWD_FLOPS_PER_SAMPLE + VAE_DECODE_FLOPS_PER_SAMPLE)
     return {"samples_per_sec": round(sps, 4),
@@ -175,13 +191,12 @@ def stage_fused():
     model, params, vae, vae_params = _dit_and_vae(use_flash=True)
     bf = cast_params_bf16(params)
 
-    def velocity(t, x):
-        tb = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x.shape[0],))
-        return dit_fused_apply(model, bf, tb, x)
+    def apply_velocity(p, tb, x):
+        return dit_fused_apply(model, p, tb, x)
 
-    sample = _sample_loop(velocity, vae, vae_params, BATCH, 32, NFE)
+    sample = _sample_loop(apply_velocity, vae, BATCH, 32, NFE)
     jitted = jax.jit(sample, donate_argnums=(0,))
-    best = _time_sampling(jitted, BATCH, 32)
+    best = _time_sampling(jitted, BATCH, 32, bf, vae_params)
     sps = BATCH / best
     flops = BATCH * (NFE * DIT_L2_FWD_FLOPS_PER_SAMPLE + VAE_DECODE_FLOPS_PER_SAMPLE)
     return {"samples_per_sec_fused": round(sps, 4),
@@ -209,14 +224,14 @@ def stage_dopri5():
               for p, k in zip(leaves, keys)]
     params = jax.tree_util.tree_unflatten(treedef, leaves)
 
-    def velocity(t, x):
-        tb = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x.shape[0],))
-        return model.apply(params, tb, x)
+    def sample(noise, p, vp):
+        def velocity(t, x):
+            tb = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x.shape[0],))
+            return model.apply(p, tb, x)
 
-    def sample(noise):
         res = odeint(velocity, noise, 1.0, 0.0, method="dopri5",
                      atol=1e-5, rtol=1e-5)
-        img = vae.apply(vae_params, res.y / 0.18215, method=AutoencoderKL.decode)
+        img = vae.apply(vp, res.y / 0.18215, method=AutoencoderKL.decode)
         img = jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
         return jnp.float32(img.sum()), res.nfe
 
@@ -225,14 +240,14 @@ def stage_dopri5():
     nfe = None
     for _ in range(WARMUP):
         buf = jax.random.normal(jax.random.PRNGKey(3), (BATCH, 32, 32, 4))
-        s, nfe = jitted(buf)
+        s, nfe = jitted(buf, params, vae_params)
         float(s)
     times = []
     for _ in range(REPS):
         buf = jax.random.normal(jax.random.PRNGKey(3), (BATCH, 32, 32, 4))
         float(jnp.float32(buf[0, 0, 0, 0]))
         t0 = time.perf_counter()
-        s, nfe = jitted(buf)
+        s, nfe = jitted(buf, params, vae_params)
         float(s)
         times.append(time.perf_counter() - t0)
     best = min(times)
@@ -258,9 +273,11 @@ def stage_train():
                                      make_optimizer)
     from lfm_tpu.train.train import make_train_step
 
-    model = create_dit("DiT-L/2", img_resolution=32, num_classes=1,
-                       dtype=jnp.bfloat16, remat=True, remat_policy="dots",
-                       use_flash=True)
+    model = create_dit(
+        DIT_ARCH, img_resolution=32, num_classes=1, dtype=jnp.bfloat16,
+        remat=TRAIN_REMAT != "none",
+        remat_policy=None if TRAIN_REMAT == "none" else TRAIN_REMAT,
+        use_flash=TRAIN_FLASH, scan_unroll=TRAIN_UNROLL)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1,)),
                         jnp.zeros((1, 32, 32, 4)), None)
     cfg = TrainConfig(lr=1e-4, no_lr_decay=True, use_ema=True)
@@ -297,7 +314,8 @@ def stage_train():
     return {"train_steps_per_sec": round(1.0 / best, 3),
             "train_samples_per_sec": round(TRAIN_BATCH / best, 2),
             "train_mfu": round(mfu, 4),
-            "train_config": "DiT-L/2 latent bs32 remat(dots) bf16 AdamW+EMA"}
+            "train_config": (f"{DIT_ARCH} latent bs{TRAIN_BATCH} "
+                             f"remat({TRAIN_REMAT}) bf16 AdamW+EMA")}
 
 
 def _adm_stage(preset_name, batch, nfe, key_prefix):
@@ -322,25 +340,25 @@ def _adm_stage(preset_name, batch, nfe, key_prefix):
         jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)), jax.random.PRNGKey(2)
     )
 
-    def velocity(t, x):
-        tb = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (x.shape[0],))
-        return model.apply(params, tb, x)
-
-    sample = _sample_loop(velocity, vae, vae_params, batch, hw, nfe)
+    sample = _sample_loop(model.apply, vae, batch, hw, nfe)
     jitted = jax.jit(sample, donate_argnums=(0,))
-    best = _time_sampling(jitted, batch, hw)
+    best = _time_sampling(jitted, batch, hw, params, vae_params,
+                          chan=mc.num_in_channels)
     return {f"{key_prefix}_samples_per_sec": round(batch / best, 4),
             f"{key_prefix}_config": f"origin ADM bs{batch} euler NFE={nfe} bf16"}
 
 
 def stage_adm256():
-    return _adm_stage("celeb256_adm", batch=32, nfe=NFE, key_prefix="adm256")
+    batch = int(os.environ.get("BENCH_ADM_BATCH", "32"))
+    return _adm_stage("celeb256_adm", batch=batch, nfe=NFE, key_prefix="adm256")
 
 
 def stage_adm512():
     """celeb512: 64x64 latents; the flash-attention kernel runs at T=4096
     (reference test_args/celeb512_adm.txt, attn at ds=1 of the 64px latent)."""
-    return _adm_stage("celeb512_adm", batch=8, nfe=50, key_prefix="adm512")
+    batch = int(os.environ.get("BENCH_ADM512_BATCH", "8"))
+    nfe = int(os.environ.get("BENCH_ADM512_NFE", "50"))
+    return _adm_stage("celeb512_adm", batch=batch, nfe=nfe, key_prefix="adm512")
 
 
 # --------------------------------------------------------------------------
@@ -351,8 +369,8 @@ def _emit(value, unit_note, extra):
     print(json.dumps({
         "metric": "celeb256_dit_samples_per_sec_per_chip",
         "value": round(value, 4),
-        "unit": "samples/sec (DiT-L/2, 100-NFE euler + VAE decode, bf16, "
-                f"batch {BATCH}{unit_note})",
+        "unit": f"samples/sec ({DIT_ARCH}, {NFE}-NFE euler + VAE decode, "
+                f"bf16, batch {BATCH}{unit_note})",
         "vs_baseline": round(value / A100_BASELINE_SAMPLES_PER_SEC, 3),
         "extra": extra,
     }), flush=True)
