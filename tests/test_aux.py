@@ -117,3 +117,106 @@ def test_celebamask_rasterizer(tmp_path):
     assert lab[5, 5] == 1  # skin = class 1
     assert lab[22, 22] == CelebAMask.CLASSES.index("hair")
     assert lab[0, 0] == 0
+
+
+def test_crc32c_known_vectors():
+    """RFC 3720 / Castagnoli check value and the TFRecord mask transform."""
+    from lfm_tpu.utils.logger import crc32c, masked_crc32c
+
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA  # iSCSI all-zeros test vector
+    c = crc32c(b"123456789")
+    assert masked_crc32c(b"123456789") == (
+        (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF)
+
+
+def test_tensorboard_writer_event_file_roundtrip(tmp_path):
+    """Parse the emitted events file with an independent TFRecord/proto
+    decoder: framing CRCs must check out and the scalar tags/values/steps
+    must round-trip (reference logger.py TensorBoardOutputFormat:110-139,
+    reimplemented without the TF dependency)."""
+    import glob
+    import struct
+
+    from lfm_tpu.utils.logger import MetricLogger, masked_crc32c
+
+    lg = MetricLogger(str(tmp_path), stdout=False, tensorboard=True)
+    lg.logkv("loss", 0.5)
+    lg.logkv("lr", 1e-4)
+    lg.dumpkvs(step=7)
+    lg.logkv("loss", 0.25)
+    lg.dumpkvs(step=8)
+    lg.close()
+
+    files = glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
+    assert len(files) == 1
+    blob = open(files[0], "rb").read()
+
+    def records(b):
+        off = 0
+        while off < len(b):
+            (length,) = struct.unpack_from("<Q", b, off)
+            (len_crc,) = struct.unpack_from("<I", b, off + 8)
+            assert len_crc == masked_crc32c(b[off:off + 8])
+            data = b[off + 12: off + 12 + length]
+            (data_crc,) = struct.unpack_from("<I", b, off + 12 + length)
+            assert data_crc == masked_crc32c(data)
+            yield data
+            off += 12 + length + 4
+
+    def parse_fields(data):
+        """Minimal proto wire-format walk -> {field_num: [values]}."""
+        out = {}
+        off = 0
+        while off < len(data):
+            key = 0
+            shift = 0
+            while True:
+                b7 = data[off]; off += 1
+                key |= (b7 & 0x7F) << shift
+                shift += 7
+                if not b7 & 0x80:
+                    break
+            num, wire = key >> 3, key & 7
+            if wire == 0:
+                v = 0; shift = 0
+                while True:
+                    b7 = data[off]; off += 1
+                    v |= (b7 & 0x7F) << shift
+                    shift += 7
+                    if not b7 & 0x80:
+                        break
+            elif wire == 1:
+                v = struct.unpack_from("<d", data, off)[0]; off += 8
+            elif wire == 5:
+                v = struct.unpack_from("<f", data, off)[0]; off += 4
+            elif wire == 2:
+                ln = 0; shift = 0
+                while True:
+                    b7 = data[off]; off += 1
+                    ln |= (b7 & 0x7F) << shift
+                    shift += 7
+                    if not b7 & 0x80:
+                        break
+                v = data[off:off + ln]; off += ln
+            else:
+                raise AssertionError(f"wire {wire}")
+            out.setdefault(num, []).append(v)
+        return out
+
+    recs = list(records(blob))
+    assert len(recs) == 3  # file_version + 2 scalar events
+    first = parse_fields(recs[0])
+    assert first[3] == [b"brain.Event:2"]
+
+    seen = {}
+    for rec in recs[1:]:
+        ev = parse_fields(rec)
+        step = ev[2][0]
+        for val_bytes in parse_fields(ev[5][0])[1]:
+            val = parse_fields(val_bytes)
+            seen[(step, val[1][0].decode())] = val[2][0]
+    assert abs(seen[(7, "loss")] - 0.5) < 1e-7
+    assert abs(seen[(7, "lr")] - 1e-4) < 1e-10
+    assert abs(seen[(8, "loss")] - 0.25) < 1e-7
