@@ -37,7 +37,7 @@ class EncoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         inner = self.heads * self.dim_head
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(h)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(h)
@@ -53,7 +53,7 @@ class EncoderBlock(nn.Module):
         o = jnp.einsum("nhqk,nkhd->nqhd", attn, v).reshape(n, t, inner)
         x = x + nn.Dense(self.dim, dtype=self.dtype, name="to_out")(o)
 
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(self.dim * self.ff_mult, dtype=self.dtype, name="ff_in")(h)
         h = nn.gelu(h, approximate=False)
         x = x + nn.Dense(self.dim, dtype=self.dtype, name="ff_out")(h)
@@ -81,7 +81,7 @@ class TransformerTextEncoder(nn.Module):
         x = tok[tokens].astype(self.dtype) + pos[:t][None].astype(self.dtype)
         for i in range(self.depth):
             x = EncoderBlock(self.dim, dtype=self.dtype, name=f"block_{i}")(x, mask)
-        return nn.LayerNorm(dtype=self.dtype, name="norm_final")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_final")(x)
 
 
 class SimpleTokenizer:
@@ -151,3 +151,58 @@ class BERTEmbedder:
         else:
             tokens = jnp.asarray(text_or_tokens, jnp.int32)
         return self.model.apply(params, tokens)
+
+
+def convert_text_encoder_state_dict(sd, depth: int = 8):
+    """Torch BERTEmbedder/TransformerWrapper state dict -> flax params for
+    ``TransformerTextEncoder`` (reference models/encoder.py:52-87,
+    x_transformer.py:207-617).
+
+    Reference layout: ``transformer.attn_layers.layers.{j}`` alternates
+    attention (even j: norm + Attention) and feed-forward (odd j: norm +
+    FeedForward(Sequential(Sequential(Linear, GELU), Dropout, Linear)));
+    final norm is ``transformer.norm``. Torch Linear weights are (out, in)
+    and transpose to flax (in, out) kernels.
+    """
+    import numpy as np
+
+    def g(name):
+        for prefix in ("", "transformer.", "module.", "module.transformer."):
+            key = prefix + name
+            if key in sd:
+                v = sd[key]
+                return np.asarray(v.detach().cpu().numpy()
+                                  if hasattr(v, "detach") else v)
+        raise KeyError(name)
+
+    def lin(name):
+        return g(name + ".weight").T
+
+    def ln(name):
+        return {"scale": g(name + ".weight"), "bias": g(name + ".bias")}
+
+    params = {
+        "token_emb": g("token_emb.weight"),
+        "pos_emb": g("pos_emb.emb.weight"),
+        "norm_final": ln("norm"),
+    }
+    for i in range(depth):
+        a, f = 2 * i, 2 * i + 1
+        ap = f"attn_layers.layers.{a}"
+        fp = f"attn_layers.layers.{f}"
+        params[f"block_{i}"] = {
+            "norm1": ln(f"{ap}.0"),
+            "to_q": {"kernel": lin(f"{ap}.1.to_q")},
+            "to_k": {"kernel": lin(f"{ap}.1.to_k")},
+            "to_v": {"kernel": lin(f"{ap}.1.to_v")},
+            "to_out": {"kernel": lin(f"{ap}.1.to_out"),
+                       "bias": g(f"{ap}.1.to_out.bias")},
+            "norm2": ln(f"{fp}.0"),
+            "ff_in": {"kernel": lin(f"{fp}.1.net.0.0"),
+                      "bias": g(f"{fp}.1.net.0.0.bias")},
+            "ff_out": {"kernel": lin(f"{fp}.1.net.2"),
+                       "bias": g(f"{fp}.1.net.2.bias")},
+        }
+    import jax.numpy as jnp
+
+    return {"params": jax.tree_util.tree_map(jnp.asarray, params)}

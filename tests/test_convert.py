@@ -256,8 +256,9 @@ def test_vae_converter_structure_matches_init():
     assert np.isfinite(np.asarray(img)).all()
 
 
-@pytest.mark.skipif(not __import__("os").path.isdir("/root/reference"),
-                    reason="reference repo not mounted")
+_REF_MISSING = not __import__("os").path.isdir("/root/reference")
+
+
 def _import_reference_dit():
     """Import the reference's actual models/DiT.py with its timm dependency
     shimmed by standard torch implementations of PatchEmbed/Attention/Mlp."""
@@ -324,6 +325,7 @@ def _import_reference_dit():
     return DiT_models
 
 
+@pytest.mark.skipif(_REF_MISSING, reason="reference repo not mounted")
 def test_dit_parity_vs_reference_torch_code():
     """Run the reference's actual models/DiT.py against the converted flax
     DiT (activation parity)."""
@@ -356,6 +358,7 @@ def test_dit_parity_vs_reference_torch_code():
                                rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.skipif(_REF_MISSING, reason="reference repo not mounted")
 def test_cfg_learn_sigma_parity_vs_reference_forward_with_cfg():
     """learn_sigma=True CFG: guidance applies only to the first in_channels;
     the sigma tail passes through unguided (reference models/DiT.py:274-290).

@@ -141,3 +141,34 @@ def test_annotated_objects_coco(tmp_path):
     objs, _ = ds.conditional_builders["objects_bbox"].inverse_build(item["objects_bbox"])
     assert 0 < len(objs) <= 2
     assert all(cls in (0, 1) for cls, _ in objs)
+
+
+def test_bert_embedder_parity_vs_reference_torch():
+    """Activation parity of TransformerTextEncoder against the reference's
+    actual BERTEmbedder (models/encoder.py:52-87 over the vendored
+    x_transformer.py), default config n_embed=512/n_layer=8, tokens fed
+    directly (use_tokenizer=False — no transformers dependency)."""
+    import torch
+
+    from tests.test_convert import _import_reference_dit
+
+    _import_reference_dit()  # installs the timm stub + /root/reference path
+    from models.encoder import BERTEmbedder as RefBERTEmbedder
+
+    from lfm_tpu.nn.text_encoder import convert_text_encoder_state_dict
+
+    torch.manual_seed(0)
+    ref = RefBERTEmbedder(n_embed=512, n_layer=8, use_tokenizer=False,
+                          device="cpu")
+    ref.eval()
+
+    mine = TransformerTextEncoder(dim=512, depth=8)
+    params = convert_text_encoder_state_dict(ref.state_dict(), depth=8)
+
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(0, 30522, size=(2, 77))
+    with torch.no_grad():
+        want = ref(torch.from_numpy(tokens)).numpy()
+    got = mine.apply(params, jnp.asarray(tokens, jnp.int32))
+    assert got.shape == (2, 77, 512)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
