@@ -28,6 +28,10 @@ _SLOW_MODULES = {
     "tests.test_cli_loop", "tests.test_conditional", "tests.test_downstream_eval",
     "tests.test_downstream_loops", "tests.test_sharded_fid",
     "tests.test_train_sample", "tests.test_partition", "tests.test_presets_build",
+    # round 3: keep `-m "not slow"` under ~8 min on this 1-core host
+    # (VERDICT r2 item 9) — these six measured 47-154 s per file.
+    "tests.test_runbook", "tests.test_convert_optimizer", "tests.test_dit_fused",
+    "tests.test_fid", "tests.test_preemption", "tests.test_perceptual",
 }
 
 
