@@ -17,7 +17,7 @@ complete, parseable JSON line of everything measured so far:
   2. fused     — fused Pallas whole-block DiT path (slow Mosaic compile;
                  upgrades the headline value when it lands: 8.4 -> 9.1)
   3. train     — sustained fused train steps (DiT-L/2, latent data, bs32,
-                 remat(dots), bf16, AdamW+EMA; reference instruments
+                 remat(dots_attn), bf16, AdamW+EMA; reference instruments
                  steps/sec at train_flow_latent.py:158-170)
   4. dopri5    — the real BASELINE metric (dopri5 adaptive, atol=rtol=1e-5,
                  reference test_flow_latent.py:42-76) on deterministically
@@ -57,12 +57,15 @@ BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 DIT_ARCH = os.environ.get("BENCH_ARCH", "DiT-L/2")
 TRAIN_BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "32"))
 TRAIN_CHAIN = int(os.environ.get("BENCH_TRAIN_CHAIN", "8"))
-# "none" | "dots" | "all_dots" — whether backward rematerializes each DiT
-# block. Measured (v5e, round 3): DiT-L/2 bs32 OOMs without remat (the
-# scanned blocks stack saved activations as [24, ...] tensors) and
-# "all_dots"=="dots" (0.479 vs 0.480 MFU) — elementwise recompute is free;
-# "dots" is the production default.
-TRAIN_REMAT = os.environ.get("BENCH_TRAIN_REMAT", "dots")
+# "none" | "dots" | "dots_attn" | "all_dots" — whether backward
+# rematerializes each DiT block. Measured (v5e, round 3): DiT-L/2 bs32 OOMs
+# without remat (the scanned blocks stack saved activations as [24, ...]
+# tensors), "all_dots"=="dots" (0.479 vs 0.480 MFU — elementwise recompute
+# is free), and "dots_attn" (also save the Pallas attention output, which
+# "dots" re-runs because a custom call is not a saveable dot) is fastest:
+# MFU 0.504. See docs/DESIGN.md "Train MFU ceiling" for the roofline
+# decomposition showing 0.504 is the bs32 ceiling on this chip.
+TRAIN_REMAT = os.environ.get("BENCH_TRAIN_REMAT", "dots_attn")
 TRAIN_FLASH = os.environ.get("BENCH_TRAIN_FLASH", "1") == "1"
 TRAIN_UNROLL = int(os.environ.get("BENCH_TRAIN_UNROLL", "1"))
 WARMUP = 1
@@ -419,6 +422,15 @@ def main():
             continue
         result, dur = _run_stage(name, remaining)
         print(f"[bench] stage {name}: {dur:.0f}s -> {result}", file=sys.stderr)
+        if result is None:
+            # one retry if the budget still allows — the tunnel's remote
+            # compile RPC drops transiently (observed: "response body closed
+            # before all bytes were read" mid-compile)
+            remaining = budget - (time.time() - start)
+            if remaining >= STAGE_EST[name] * 1.2:
+                result, dur = _run_stage(name, remaining)
+                print(f"[bench] stage {name} (retry): {dur:.0f}s -> {result}",
+                      file=sys.stderr)
         if result is None:
             continue
         extra.update(result)
