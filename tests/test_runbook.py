@@ -130,3 +130,25 @@ def test_runbook_flags_manifest_and_parity_failures(tmp_path):
         "--out", str(tmp_path / "out"),
     ])
     assert rc != 0
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference repo not mounted")
+def test_runbook_dryrun_tool_tiny(tmp_path):
+    """tools/runbook_dryrun.py end-to-end at tiny scale (--no-vae): the same
+    synthesize -> convert -> parity -> latent-smoke pipeline that was driven
+    at full DiT-L/2 scale; pins the tool's glue (checkpoint synthesis from
+    the reference model, argfile override writing, stage sequencing)."""
+    import runbook_dryrun
+
+    argfile = tmp_path / "tiny_dryrun.txt"
+    argfile.write_text(
+        'MODEL_TYPE="DiT-S/2"\nDATASET="celeba_256"\nIMG_SIZE=64\n'
+        'METHOD="dopri5"\nSTEPS=0\nEPOCH_ID=7\n')
+    rc = runbook_dryrun.main([
+        "--argfile", str(argfile), "--no-vae", "--steps", "2",
+        "--reference", REF, "--out", str(tmp_path / "work"),
+        "--parity-tol", "1e-4",
+    ])
+    assert rc == 0
+    # the synthesized checkpoint carries the argfile's epoch id
+    assert (tmp_path / "work" / "model_7.pth").exists()
