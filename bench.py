@@ -68,8 +68,8 @@ TRAIN_CHAIN = int(os.environ.get("BENCH_TRAIN_CHAIN", "8"))
 TRAIN_REMAT = os.environ.get("BENCH_TRAIN_REMAT", "dots_attn")
 TRAIN_FLASH = os.environ.get("BENCH_TRAIN_FLASH", "1") == "1"
 TRAIN_UNROLL = int(os.environ.get("BENCH_TRAIN_UNROLL", "1"))
-WARMUP = 1
-REPS = int(os.environ.get("BENCH_REPS", "3"))
+WARMUP = int(os.environ.get("BENCH_WARMUP", "2"))
+REPS = int(os.environ.get("BENCH_REPS", "5"))
 
 # Exact per-sample forward FLOPs from XLA cost_analysis of LOOP-FREE
 # compilations (cost analysis counts lax.scan/while bodies ONCE, so the
@@ -85,15 +85,24 @@ VAE_DECODE_FLOPS_PER_SAMPLE = 6.15809e11
 # Per-stage wall-clock estimates (seconds, compile-dominated; measured on
 # the v5e tunnel round 3). Used for budget-based skipping; the subprocess
 # hard timeout is 2.5x this.
+# Measured on the v5e tunnel (2026-08-18 run: sampling 343s, fused 378s,
+# train 117s, dopri5 ~545s) + ~15% headroom; the subprocess hard timeout is
+# 2.5x this.
 STAGE_EST = {
-    "sampling": 300,
-    "fused": 700,
-    "train": 420,
-    "dopri5": 360,
+    "sampling": 390,
+    "fused": 440,
+    "train": 150,
+    "dopri5": 450,
     "adm256": 300,
     "adm512": 420,
 }
-STAGES = ["sampling", "fused", "train", "dopri5", "adm256", "adm512"]
+# Order = verdict priority: headline (sampling, upgraded by fused), the
+# BASELINE dopri5 metric, train MFU, then the ADM zoo. Stages that don't fit
+# the budget are skipped live and reported from tools/bench_cache.json
+# (prior on-chip measurements, unambiguously labeled as such).
+STAGES = ["sampling", "fused", "dopri5", "train", "adm256", "adm512"]
+CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "bench_cache.json")
 
 
 # --------------------------------------------------------------------------
@@ -210,20 +219,26 @@ def stage_dopri5():
     """The BASELINE.md metric: dopri5 adaptive sampling (atol=rtol=1e-5,
     reference test_flow_latent.py:42-76 defaults) on deterministically
     perturbed weights. A randomly-initialised DiT is adaLN-zero => v==0 and
-    adaptive control degenerates; perturbing every param with 0.3*N(0,1)
-    noise puts the field in the NFE regime of trained checkpoints
-    (~O(100-250), reference --compute_nfe at test_flow_latent.py:196-221)."""
+    adaptive control degenerates; perturbing every param with sigma*N(0,1)
+    puts the field in the trained regime. sigma is CALIBRATED on-chip:
+    0.03 gives |v|rms ~= 1.0 (the flow-matching velocity scale of trained
+    checkpoints); 0.3 gave |v| ~ 4500, whose adaptive integration needs so
+    many steps that one XLA execution outlives the tunnel watchdog and the
+    worker is killed. max_steps bounds the worst case below the watchdog."""
     import jax
     import jax.numpy as jnp
 
     from lfm_tpu.ode import odeint
     from lfm_tpu.vae.autoencoder_kl import AutoencoderKL
 
-    model, params, vae, vae_params = _dit_and_vae(use_flash=True)
+    model, params, vae, vae_params = _dit_and_vae(
+        use_flash=os.environ.get("BENCH_DOPRI5_FLASH", "1") == "1")
+    sigma = float(os.environ.get("BENCH_DOPRI5_SIGMA", "0.03"))
+    max_steps = int(os.environ.get("BENCH_DOPRI5_MAX_STEPS", "300"))
     key = jax.random.PRNGKey(42)
     leaves, treedef = jax.tree_util.tree_flatten(params)
     keys = jax.random.split(key, len(leaves))
-    leaves = [p + 0.3 * jax.random.normal(k, p.shape, p.dtype)
+    leaves = [p + sigma * jax.random.normal(k, p.shape, p.dtype)
               for p, k in zip(leaves, keys)]
     params = jax.tree_util.tree_unflatten(treedef, leaves)
 
@@ -233,7 +248,7 @@ def stage_dopri5():
             return model.apply(p, tb, x)
 
         res = odeint(velocity, noise, 1.0, 0.0, method="dopri5",
-                     atol=1e-5, rtol=1e-5)
+                     atol=1e-5, rtol=1e-5, max_steps=max_steps)
         img = vae.apply(vp, res.y / 0.18215, method=AutoencoderKL.decode)
         img = jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
         return jnp.float32(img.sum()), res.nfe
@@ -432,6 +447,7 @@ def main():
                 print(f"[bench] stage {name} (retry): {dur:.0f}s -> {result}",
                       file=sys.stderr)
         if result is None:
+            skipped.append(name)  # failed: fall back to cache like a skip
             continue
         extra.update(result)
         if name == "sampling":
@@ -446,11 +462,29 @@ def main():
             _emit(value, unit_note, extra)
     if skipped:
         extra["skipped"] = ",".join(skipped)
+        cached = _load_cache(skipped)
+        if cached:
+            # NOT measured in this run — prior on-chip measurements kept so
+            # a budget-skipped stage still leaves its last-known numbers,
+            # clearly separated from the live keys above.
+            extra["cached_prior_run"] = cached
     if value > 0:
         _emit(value, unit_note, extra)
     else:
         # nothing landed: still print a parseable record
         _emit(0.0, ", NO STAGE COMPLETED", extra)
+
+
+def _load_cache(skipped):
+    try:
+        with open(CACHE_PATH) as f:
+            cache = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    out = {k: cache[k] for k in skipped if k in cache}
+    if out and "note" in cache:
+        out["note"] = cache["note"]
+    return out or None
 
 
 if __name__ == "__main__":
