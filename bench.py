@@ -85,16 +85,16 @@ VAE_DECODE_FLOPS_PER_SAMPLE = 6.15809e11
 # Per-stage wall-clock estimates (seconds, compile-dominated; measured on
 # the v5e tunnel round 3). Used for budget-based skipping; the subprocess
 # hard timeout is 2.5x this.
-# Measured on the v5e tunnel (2026-08-18 run: sampling 343s, fused 378s,
-# train 117s, dopri5 ~545s) + ~15% headroom; the subprocess hard timeout is
-# 2.5x this.
+# Measured on the v5e tunnel (2026-08-18 runs: sampling 343s, fused 378s,
+# train 117s, dopri5 ~550s, adm256 ~460s, adm512 ~470s) + headroom; the
+# subprocess hard timeout is 2.5x this.
 STAGE_EST = {
     "sampling": 390,
     "fused": 440,
     "train": 150,
-    "dopri5": 450,
-    "adm256": 300,
-    "adm512": 420,
+    "dopri5": 560,
+    "adm256": 520,
+    "adm512": 530,
 }
 # Order = verdict priority: headline (sampling, upgraded by fused), the
 # BASELINE dopri5 metric, train MFU, then the ADM zoo. Stages that don't fit
