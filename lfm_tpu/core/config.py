@@ -143,6 +143,7 @@ class MeshConfig:
     dp: int = -1  # -1 => all devices
     fsdp: int = 1
     tp: int = 1
+    sp: int = 1  # sequence parallelism (core/ring.py ring attention)
 
 
 @dataclass(frozen=True)

@@ -21,23 +21,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
 TENSOR_AXIS = "tensor"
+SEQ_AXIS = "seq"
 
 
 def make_mesh(
     dp: int = -1,
     fsdp: int = 1,
     tp: int = 1,
+    sp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a (data, fsdp, tensor) mesh. dp=-1 consumes all remaining devices."""
+    """Build a (data, fsdp, tensor, seq) mesh. dp=-1 consumes all remaining
+    devices. sp partitions the token/row axis for sequence parallelism
+    (core/ring.py ring attention); it is innermost so sequence shards of one
+    batch row sit on ICI neighbours."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp == -1:
-        assert n % (fsdp * tp) == 0, f"{n} devices not divisible by fsdp*tp={fsdp * tp}"
-        dp = n // (fsdp * tp)
-    assert dp * fsdp * tp == n, f"mesh {dp}x{fsdp}x{tp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, fsdp, tp)
-    return Mesh(arr, (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS))
+        assert n % (fsdp * tp * sp) == 0, (
+            f"{n} devices not divisible by fsdp*tp*sp={fsdp * tp * sp}")
+        dp = n // (fsdp * tp * sp)
+    assert dp * fsdp * tp * sp == n, f"mesh {dp}x{fsdp}x{tp}x{sp} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, fsdp, tp, sp)
+    return Mesh(arr, (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS, SEQ_AXIS))
 
 
 def data_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:

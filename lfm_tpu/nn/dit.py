@@ -90,6 +90,7 @@ class DiTBlock(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -103,7 +104,8 @@ class DiTBlock(nn.Module):
                          dtype=self.dtype, name="norm1")(x)
         h = modulate(h, s_msa, sc_msa)
         h = Attention(self.hidden_size, self.num_heads, dtype=self.dtype,
-                      use_flash=self.use_flash, name="attn")(h)
+                      use_flash=self.use_flash, sp_axis=self.sp_axis,
+                      name="attn")(h)
         x = x + g_msa[:, None, :] * h
 
         h = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
@@ -125,12 +127,14 @@ class _ScanBlock(nn.Module):
     use_flash: bool = False
     remat: bool = False
     remat_policy: Optional[str] = None
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray):
         cls = _remat(DiTBlock, self.remat_policy) if self.remat else DiTBlock
         x = cls(self.hidden_size, self.num_heads, self.mlp_ratio,
-                dtype=self.dtype, use_flash=self.use_flash, name="block")(x, c)
+                dtype=self.dtype, use_flash=self.use_flash,
+                sp_axis=self.sp_axis, name="block")(x, c)
         return x, None
 
 
@@ -181,6 +185,13 @@ class DiT(nn.Module):
     scan_unroll: int = 1
     remat: bool = False
     remat_policy: Optional[str] = None
+    # Sequence parallelism: set to a mesh axis name and apply the module
+    # INSIDE shard_map with x = a contiguous row-shard of the latent
+    # (P(..., sp_axis, None, None) on H). Attention runs as a ppermute ring
+    # (core/ring.py); everything else is token-local. The parameter tree is
+    # IDENTICAL to the unsharded module — converted reference checkpoints
+    # load unchanged.
+    sp_axis: Optional[str] = None
 
     @property
     def out_channels(self) -> int:
@@ -200,14 +211,32 @@ class DiT(nn.Module):
         train: bool = False,
     ) -> jnp.ndarray:
         n, hh, ww, cc = x.shape
-        assert hh == self.img_resolution and cc == self.in_channels, (
-            f"expected NHWC ({self.img_resolution}, {self.in_channels}), got {x.shape}"
-        )
+        if self.sp_axis is None:
+            assert hh == self.img_resolution and cc == self.in_channels, (
+                f"expected NHWC ({self.img_resolution}, {self.in_channels}), got {x.shape}"
+            )
+        else:
+            sp = jax.lax.psum(1, self.sp_axis)  # static: the axis size
+            assert hh * sp == self.img_resolution and ww == self.img_resolution, (
+                f"sp={sp}: expected row-shard H={self.img_resolution}//{sp}, "
+                f"got {x.shape}"
+            )
+            assert hh % self.patch_size == 0, (
+                f"row-shard height {hh} must align to patch_size {self.patch_size}"
+            )
         t = jnp.broadcast_to(jnp.asarray(t, jnp.float32).reshape(-1), (n,))
         if y is None:
             y = jnp.full((n,), self.null_label, jnp.int32)
 
-        pos = get_2d_sincos_pos_embed(self.hidden_size, self.img_resolution // self.patch_size)
+        g = self.img_resolution // self.patch_size
+        pos = get_2d_sincos_pos_embed(self.hidden_size, g)
+        if self.sp_axis is not None:
+            # this shard's contiguous rows of the patch grid
+            g_loc = hh // self.patch_size
+            idx = jax.lax.axis_index(self.sp_axis)
+            pos = jax.lax.dynamic_slice_in_dim(
+                pos.reshape(g, g, self.hidden_size), idx * g_loc, g_loc, axis=0
+            ).reshape(g_loc * g, self.hidden_size)
         x = PatchEmbed(self.patch_size, self.hidden_size, dtype=self.dtype,
                        name="x_embedder")(x.astype(self.dtype))
         x = x + pos[None].astype(self.dtype)
@@ -230,7 +259,8 @@ class DiT(nn.Module):
             x, _ = ScannedBlocks(
                 self.hidden_size, self.num_heads, self.mlp_ratio,
                 dtype=self.dtype, use_flash=self.use_flash, remat=self.remat,
-                remat_policy=self.remat_policy, name="blocks",
+                remat_policy=self.remat_policy, sp_axis=self.sp_axis,
+                name="blocks",
             )(x, c)
         else:
             block_cls = (_remat(DiTBlock, self.remat_policy) if self.remat
@@ -238,21 +268,24 @@ class DiT(nn.Module):
             for i in range(self.depth):
                 x = block_cls(self.hidden_size, self.num_heads, self.mlp_ratio,
                               dtype=self.dtype, use_flash=self.use_flash,
-                              name=f"blocks_{i}")(x, c)
+                              sp_axis=self.sp_axis, name=f"blocks_{i}")(x, c)
 
         x = FinalLayer(self.hidden_size, self.patch_size, self.out_channels,
                        dtype=self.dtype, name="final_layer")(x, c)
         return self._unpatchify(x).astype(jnp.float32)
 
     def _unpatchify(self, x: jnp.ndarray) -> jnp.ndarray:
-        """(N, T, p*p*C) -> (N, H, W, C); inverse of PatchEmbed's layout."""
+        """(N, T, p*p*C) -> (N, H, W, C); inverse of PatchEmbed's layout.
+        Under sp_axis, T is a row-shard of the patch grid and the output is
+        the matching row-shard of the image."""
         n, tt, _ = x.shape
         p = self.patch_size
-        g = self.img_resolution // p
+        g = self.img_resolution // p  # full grid width
+        g_rows = tt // g  # local grid height (== g when unsharded)
         c = self.out_channels
-        x = x.reshape(n, g, g, p, p, c)
+        x = x.reshape(n, g_rows, g, p, p, c)
         x = x.transpose(0, 1, 3, 2, 4, 5)
-        return x.reshape(n, g * p, g * p, c)
+        return x.reshape(n, g_rows * p, g * p, c)
 
     def forward_with_cfg(self, params, t, x, y, cfg_scale: float,
                          guide_channels: Optional[int] = None) -> jnp.ndarray:
@@ -274,10 +307,12 @@ def create_dit(model_type: str, *, img_resolution: int, in_channels: int = 4,
                label_dropout: float = 0.0, num_classes: Optional[int] = None,
                dtype: Dtype = jnp.float32, use_flash: bool = False,
                remat: bool = False, remat_policy: Optional[str] = None,
-               scan_blocks: bool = True, scan_unroll: int = 1) -> DiT:
+               scan_blocks: bool = True, scan_unroll: int = 1,
+               sp_axis: Optional[str] = None) -> DiT:
     """Factory matching the reference dispatch (models/__init__.py:12-17)."""
     depth, hidden, patch, heads = DIT_CONFIGS[model_type]
     return DiT(
+        sp_axis=sp_axis,
         img_resolution=img_resolution,
         patch_size=patch,
         in_channels=in_channels,

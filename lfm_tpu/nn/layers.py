@@ -153,6 +153,11 @@ class Attention(nn.Module):
     qkv_bias: bool = True
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    # mesh axis name for sequence parallelism: x is a token shard inside
+    # shard_map and attention runs as a ppermute ring (core/ring.py).
+    # Takes precedence over use_flash (the local Pallas kernels cannot emit
+    # the partial-softmax statistics the ring combine needs).
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -166,7 +171,11 @@ class Attention(nn.Module):
         k = k.reshape(n, t, h, hd)
         v = v.reshape(n, t, h, hd)
 
-        if self.use_flash:
+        if self.sp_axis is not None:
+            from lfm_tpu.core.ring import ring_attention
+
+            out = ring_attention(q, k, v, self.sp_axis)
+        elif self.use_flash:
             from lfm_tpu.kernels.flash_attention import fused_attention
 
             out = fused_attention(q, k, v)

@@ -53,7 +53,7 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
     """Run training per config. Returns the final TrainState."""
     tc = config.train
     mesh = mesh if mesh is not None else make_mesh(config.mesh.dp, config.mesh.fsdp,
-                                                   config.mesh.tp)
+                                                   config.mesh.tp, config.mesh.sp)
     dataset = dataset if dataset is not None else get_dataset(config, seed=tc.seed)
     loader = DataLoader(dataset, tc.batch_size, shuffle=True, drop_last=True,
                         seed=tc.seed)
