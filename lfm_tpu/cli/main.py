@@ -70,6 +70,8 @@ def _build_parser():
     t.add_argument("--dp", type=int, default=None, help="data-parallel mesh axis (-1 = all)")
     t.add_argument("--fsdp", type=int, default=None, help="FSDP mesh axis")
     t.add_argument("--tp", type=int, default=None, help="tensor-parallel mesh axis")
+    t.add_argument("--sp", type=int, default=None,
+                   help="sequence-parallel mesh axis (ring attention)")
     t.add_argument("--precision", type=str, default=None, choices=["bf16", "f32"])
     t.add_argument("--max_steps", type=int, default=None)
     t.add_argument("--remat_policy", type=str, default=None,
@@ -140,6 +142,9 @@ def _build_parser():
         s.add_argument("--eval_noise", type=str, default=None,
                        help='adaptive noise floor: float or "auto" '
                             "(default: per-method policy)")
+        s.add_argument("--sp", type=int, default=None,
+                       help="sequence-parallel mesh axis for sampling "
+                            "(ring attention over latent rows)")
         s.add_argument("--n_sample", type=int, default=None)
         s.add_argument("--generator", type=str, default=None)
         s.add_argument("--real_img_dir", type=str, default=None)
@@ -217,7 +222,8 @@ def _resolve_config(args):
             remat_policy=args.remat_policy,
         )
     data = over(config.data, dataset=args.dataset, datadir=args.datadir)
-    mesh = over(config.mesh, dp=args.dp, fsdp=args.fsdp, tp=args.tp)
+    mesh = over(config.mesh, dp=args.dp, fsdp=args.fsdp, tp=args.tp,
+                sp=getattr(args, "sp", None))
     config = dataclasses.replace(
         config, model=model, sample=sample, train=train_cfg, data=data, mesh=mesh,
     )
@@ -424,7 +430,14 @@ def main(argv=None):
     rng = SampleRNG(seed=config.sample.seed, num_samples=config.sample.n_sample)
 
     if args.cmd == "sample":
-        sampler = make_sampler(config, model, params, vae, vae_params)
+        sp_mesh = None
+        if config.mesh.sp > 1:
+            from lfm_tpu.core.sharding import make_mesh
+
+            sp_mesh = make_mesh(config.mesh.dp, config.mesh.fsdp,
+                                config.mesh.tp, config.mesh.sp)
+        sampler = make_sampler(config, model, params, vae, vae_params,
+                               sp_mesh=sp_mesh)
         idx = jnp.arange(config.sample.batch_size)
         noise, y = noise_and_labels(config, rng, idx)
         out = sampler(noise, y)

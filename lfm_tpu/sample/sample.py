@@ -31,7 +31,7 @@ class SampleOutput(NamedTuple):
 
 def build_velocity(model, params, y: Optional[jnp.ndarray], cfg_scale: float,
                    num_classes: Optional[int], *, use_fused_dit: bool = False,
-                   shard_mesh=None):
+                   shard_mesh=None, sp_mesh=None):
     """v(t, x) closure, CFG-fused when cfg_scale > 1 (test_flow_latent.py:55-59).
 
     With ``use_fused_dit``, eligible DiT models evaluate through the fused
@@ -46,7 +46,23 @@ def build_velocity(model, params, y: Optional[jnp.ndarray], cfg_scale: float,
     exactly what a pallas_call needs under SPMD. Off-TPU the per-shard body
     falls back to ``model.apply``, so the CPU-mesh suite exercises the
     wrapper end-to-end (mesh-shape invariance of generated samples)."""
-    if use_fused_dit or shard_mesh is not None:
+    if sp_mesh is not None:
+        # Sequence parallelism (core/ring.py): batch over `data`, latent
+        # rows over `seq`. Subsumes the data-only shard_mesh path; attention
+        # runs as a ppermute ring, so the fused/Pallas single-device paths
+        # do not apply inside these shards.
+        from lfm_tpu.core.sharding import SEQ_AXIS
+        from lfm_tpu.sample.sp import make_sp_apply
+
+        model_sp = model.copy(sp_axis=SEQ_AXIS)
+        sp_labeled = make_sp_apply(model_sp, sp_mesh)
+        sp_unlabeled = make_sp_apply(model_sp, sp_mesh, has_labels=False)
+
+        def apply(t, x, yy):
+            if yy is None:
+                return sp_unlabeled(params, t, x)
+            return sp_labeled(params, t, x, yy)
+    elif use_fused_dit or shard_mesh is not None:
         from lfm_tpu.nn.dit_fused import (cast_params_bf16, dit_fused_apply,
                                           fused_applicable)
         bf16_params = None  # cast lazily, only if a call is actually fused
@@ -167,6 +183,7 @@ def make_sampler(
     vae_params=None,
     *,
     jit: bool = True,
+    sp_mesh=None,
 ) -> Callable:
     """Returns sample_fn(noise, y) -> SampleOutput. Decode is skipped when no
     VAE is provided (latents returned as 'images' for latent-space tests).
@@ -174,6 +191,9 @@ def make_sampler(
     Params flow through the jit boundary as ARGUMENTS, never closure
     constants — closed-over weights would be inlined into the HLO
     (hundreds of MB for DiT-L/2) and blow up compile time/program size.
+
+    ``sp_mesh``: a mesh with a >1 ``seq`` axis runs the velocity net
+    sequence-parallel (rows over seq, batch over data; core/ring.py).
     """
     sc = config.sample
     num_classes = config.model.num_classes
@@ -181,7 +201,8 @@ def make_sampler(
 
     def raw(params, vae_params, noise: jnp.ndarray, y) -> SampleOutput:
         velocity = build_velocity(model, params, y, sc.cfg_scale, num_classes,
-                                  use_fused_dit=sc.use_fused_dit)
+                                  use_fused_dit=sc.use_fused_dit,
+                                  sp_mesh=sp_mesh)
         z0, nfe = sample_latents(
             velocity, noise,
             method=sc.method, atol=sc.atol, rtol=sc.rtol,

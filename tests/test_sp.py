@@ -112,3 +112,28 @@ def test_sp_requires_matching_axis():
     model = create_dit("DiT-T/2", img_resolution=16, num_classes=1)
     with pytest.raises(AssertionError):
         make_sp_apply(model, mesh)
+
+
+def test_sp_sampler_end_to_end_matches_plain():
+    """make_sampler(sp_mesh=...) through the full ODE loop (euler + CFG)
+    produces the same latents as the unsharded sampler."""
+    from lfm_tpu.core.config import Config, ModelConfig, SampleConfig
+    from lfm_tpu.sample.sample import make_sampler
+
+    mesh = make_mesh(dp=2, sp=4)
+    model = create_dit("DiT-T/2", img_resolution=16, num_classes=10,
+                       label_dropout=0.1)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(4, 16, 16, 4)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 10, size=(4,)).astype(np.int32))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1,)),
+                        jnp.zeros((1, 16, 16, 4)), jnp.zeros((1,), jnp.int32))
+    config = Config(
+        model=ModelConfig(model_type="DiT-T/2", image_size=128, num_classes=10),
+        sample=SampleConfig(method="euler", num_steps=4, cfg_scale=1.5),
+    )
+    plain = make_sampler(config, model, params, jit=True)
+    sp = make_sampler(config, model, params, jit=True, sp_mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(sp(x, y).latents), np.asarray(plain(x, y).latents),
+        rtol=2e-4, atol=2e-4)
