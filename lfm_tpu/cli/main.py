@@ -72,6 +72,8 @@ def _build_parser():
     t.add_argument("--tp", type=int, default=None, help="tensor-parallel mesh axis")
     t.add_argument("--sp", type=int, default=None,
                    help="sequence-parallel mesh axis (ring attention)")
+    t.add_argument("--pp", type=int, default=None,
+                   help="pipeline-parallel mesh axis (DiT block stages)")
     t.add_argument("--precision", type=str, default=None, choices=["bf16", "f32"])
     t.add_argument("--max_steps", type=int, default=None)
     t.add_argument("--remat_policy", type=str, default=None,
@@ -145,6 +147,9 @@ def _build_parser():
         s.add_argument("--sp", type=int, default=None,
                        help="sequence-parallel mesh axis for sampling "
                             "(ring attention over latent rows)")
+        s.add_argument("--pp", type=int, default=None,
+                       help="pipeline-parallel mesh axis for sampling "
+                            "(DiT block stages over ICI)")
         s.add_argument("--n_sample", type=int, default=None)
         s.add_argument("--generator", type=str, default=None)
         s.add_argument("--real_img_dir", type=str, default=None)
@@ -223,7 +228,7 @@ def _resolve_config(args):
         )
     data = over(config.data, dataset=args.dataset, datadir=args.datadir)
     mesh = over(config.mesh, dp=args.dp, fsdp=args.fsdp, tp=args.tp,
-                sp=getattr(args, "sp", None))
+                sp=getattr(args, "sp", None), pp=getattr(args, "pp", None))
     config = dataclasses.replace(
         config, model=model, sample=sample, train=train_cfg, data=data, mesh=mesh,
     )
@@ -431,13 +436,16 @@ def main(argv=None):
 
     if args.cmd == "sample":
         sp_mesh = None
-        if config.mesh.sp > 1:
+        pp_mesh = None
+        if config.mesh.sp > 1 or config.mesh.pp > 1:
             from lfm_tpu.core.sharding import make_mesh
 
-            sp_mesh = make_mesh(config.mesh.dp, config.mesh.fsdp,
-                                config.mesh.tp, config.mesh.sp)
+            mesh = make_mesh(config.mesh.dp, config.mesh.fsdp,
+                             config.mesh.tp, config.mesh.sp, config.mesh.pp)
+            sp_mesh = mesh if config.mesh.sp > 1 else None
+            pp_mesh = mesh if (sp_mesh is None and config.mesh.pp > 1) else None
         sampler = make_sampler(config, model, params, vae, vae_params,
-                               sp_mesh=sp_mesh)
+                               sp_mesh=sp_mesh, pp_mesh=pp_mesh)
         idx = jnp.arange(config.sample.batch_size)
         noise, y = noise_and_labels(config, rng, idx)
         out = sampler(noise, y)

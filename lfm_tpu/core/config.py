@@ -144,6 +144,7 @@ class MeshConfig:
     fsdp: int = 1
     tp: int = 1
     sp: int = 1  # sequence parallelism (core/ring.py ring attention)
+    pp: int = 1  # pipeline parallelism (core/pipeline.py block stages)
 
 
 @dataclass(frozen=True)

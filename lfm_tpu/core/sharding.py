@@ -20,6 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
+PIPE_AXIS = "pipe"
 TENSOR_AXIS = "tensor"
 SEQ_AXIS = "seq"
 
@@ -29,21 +30,25 @@ def make_mesh(
     fsdp: int = 1,
     tp: int = 1,
     sp: int = 1,
+    pp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a (data, fsdp, tensor, seq) mesh. dp=-1 consumes all remaining
-    devices. sp partitions the token/row axis for sequence parallelism
-    (core/ring.py ring attention); it is innermost so sequence shards of one
-    batch row sit on ICI neighbours."""
+    """Build a (data, fsdp, pipe, tensor, seq) mesh. dp=-1 consumes all
+    remaining devices. pp partitions the block/depth axis for pipeline
+    parallelism (core/pipeline.py); sp partitions the token/row axis for
+    sequence parallelism (core/ring.py ring attention). tp/sp are innermost
+    so the chattiest collectives ride adjacent ICI links; pipe sits between
+    fsdp and tensor so each stage's ppermute neighbour is one hop away."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp == -1:
-        assert n % (fsdp * tp * sp) == 0, (
-            f"{n} devices not divisible by fsdp*tp*sp={fsdp * tp * sp}")
-        dp = n // (fsdp * tp * sp)
-    assert dp * fsdp * tp * sp == n, f"mesh {dp}x{fsdp}x{tp}x{sp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, fsdp, tp, sp)
-    return Mesh(arr, (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS, SEQ_AXIS))
+        assert n % (fsdp * pp * tp * sp) == 0, (
+            f"{n} devices not divisible by fsdp*pp*tp*sp={fsdp * pp * tp * sp}")
+        dp = n // (fsdp * pp * tp * sp)
+    assert dp * fsdp * pp * tp * sp == n, (
+        f"mesh {dp}x{fsdp}x{pp}x{tp}x{sp} != {n} devices")
+    arr = np.asarray(devices).reshape(dp, fsdp, pp, tp, sp)
+    return Mesh(arr, (DATA_AXIS, FSDP_AXIS, PIPE_AXIS, TENSOR_AXIS, SEQ_AXIS))
 
 
 def data_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:

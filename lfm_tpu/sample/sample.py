@@ -31,7 +31,7 @@ class SampleOutput(NamedTuple):
 
 def build_velocity(model, params, y: Optional[jnp.ndarray], cfg_scale: float,
                    num_classes: Optional[int], *, use_fused_dit: bool = False,
-                   shard_mesh=None, sp_mesh=None):
+                   shard_mesh=None, sp_mesh=None, pp_mesh=None):
     """v(t, x) closure, CFG-fused when cfg_scale > 1 (test_flow_latent.py:55-59).
 
     With ``use_fused_dit``, eligible DiT models evaluate through the fused
@@ -46,7 +46,23 @@ def build_velocity(model, params, y: Optional[jnp.ndarray], cfg_scale: float,
     exactly what a pallas_call needs under SPMD. Off-TPU the per-shard body
     falls back to ``model.apply``, so the CPU-mesh suite exercises the
     wrapper end-to-end (mesh-shape invariance of generated samples)."""
-    if sp_mesh is not None:
+    assert pp_mesh is None or sp_mesh is None, (
+        "combined sp x pp evaluation is not supported; pick one of "
+        "sp_mesh/pp_mesh (dp composes with either)")
+    if pp_mesh is not None:
+        # Pipeline parallelism (core/pipeline.py): the DiT block stack is
+        # staged over the `pipe` mesh axis, microbatches hop stages on ICI.
+        # Param TREE is unchanged; placement per sample/pp.py shardings.
+        from lfm_tpu.sample.pp import make_pp_apply
+
+        pp_labeled = make_pp_apply(model, pp_mesh)
+        pp_unlabeled = make_pp_apply(model, pp_mesh, has_labels=False)
+
+        def apply(t, x, yy):
+            if yy is None:
+                return pp_unlabeled(params, t, x)
+            return pp_labeled(params, t, x, yy)
+    elif sp_mesh is not None:
         # Sequence parallelism (core/ring.py): batch over `data`, latent
         # rows over `seq`. Subsumes the data-only shard_mesh path; attention
         # runs as a ppermute ring, so the fused/Pallas single-device paths
@@ -184,6 +200,7 @@ def make_sampler(
     *,
     jit: bool = True,
     sp_mesh=None,
+    pp_mesh=None,
 ) -> Callable:
     """Returns sample_fn(noise, y) -> SampleOutput. Decode is skipped when no
     VAE is provided (latents returned as 'images' for latent-space tests).
@@ -194,6 +211,8 @@ def make_sampler(
 
     ``sp_mesh``: a mesh with a >1 ``seq`` axis runs the velocity net
     sequence-parallel (rows over seq, batch over data; core/ring.py).
+    ``pp_mesh``: a mesh with a >1 ``pipe`` axis runs the DiT block stack
+    pipeline-parallel (stages over pipe, batch over data; core/pipeline.py).
     """
     sc = config.sample
     num_classes = config.model.num_classes
@@ -202,7 +221,7 @@ def make_sampler(
     def raw(params, vae_params, noise: jnp.ndarray, y) -> SampleOutput:
         velocity = build_velocity(model, params, y, sc.cfg_scale, num_classes,
                                   use_fused_dit=sc.use_fused_dit,
-                                  sp_mesh=sp_mesh)
+                                  sp_mesh=sp_mesh, pp_mesh=pp_mesh)
         z0, nfe = sample_latents(
             velocity, noise,
             method=sc.method, atol=sc.atol, rtol=sc.rtol,
