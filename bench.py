@@ -95,12 +95,15 @@ STAGE_EST = {
     "dopri5": 560,
     "adm256": 520,
     "adm512": 530,
+    "int8": 420,
 }
 # Order = verdict priority: headline (sampling, upgraded by fused), the
-# BASELINE dopri5 metric, train MFU, then the ADM zoo. Stages that don't fit
-# the budget are skipped live and reported from tools/bench_cache.json
-# (prior on-chip measurements, unambiguously labeled as such).
-STAGES = ["sampling", "fused", "dopri5", "train", "adm256", "adm512"]
+# BASELINE dopri5 metric, train MFU, then the ADM zoo, then the opt-in int8
+# path (quantized numerics — recorded as an extra, never the headline).
+# Stages that don't fit the budget are skipped live and reported from
+# tools/bench_cache.json (prior on-chip measurements, unambiguously labeled
+# as such).
+STAGES = ["sampling", "fused", "dopri5", "train", "adm256", "adm512", "int8"]
 CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "tools", "bench_cache.json")
 
@@ -213,6 +216,31 @@ def stage_fused():
     flops = BATCH * (NFE * DIT_L2_FWD_FLOPS_PER_SAMPLE + VAE_DECODE_FLOPS_PER_SAMPLE)
     return {"samples_per_sec_fused": round(sps, 4),
             "sample_mfu_fused": round(flops / best / V5E_BF16_PEAK_FLOPS, 4)}
+
+
+def stage_int8():
+    """Opt-in w8a8 int8 sampling path (nn/dit_int8.py): same workload as
+    stage_sampling with the block matmuls on the int8 MXU. Quantized
+    numerics (bounded error, tests/test_dit_int8.py) — recorded as an
+    extra, never as the bf16 headline."""
+    import jax
+
+    from lfm_tpu.nn.dit_int8 import dit_int8_apply, quantize_params_int8
+
+    model, params, vae, vae_params = _dit_and_vae(use_flash=False)
+    qp = quantize_params_int8(model, params)
+
+    def apply_velocity(p, tb, x):
+        return dit_int8_apply(model, p, tb, x)
+
+    sample = _sample_loop(apply_velocity, vae, BATCH, 32, NFE)
+    jitted = jax.jit(sample, donate_argnums=(0,))
+    best = _time_sampling(jitted, BATCH, 32, qp, vae_params)
+    sps = BATCH / best
+    flops = BATCH * (NFE * DIT_L2_FWD_FLOPS_PER_SAMPLE + VAE_DECODE_FLOPS_PER_SAMPLE)
+    return {"samples_per_sec_int8": round(sps, 4),
+            "sample_mfu_int8_effective": round(
+                flops / best / V5E_BF16_PEAK_FLOPS, 4)}
 
 
 def stage_dopri5():
@@ -491,7 +519,8 @@ if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
         fn = {"sampling": stage_sampling, "fused": stage_fused,
               "train": stage_train, "dopri5": stage_dopri5,
-              "adm256": stage_adm256, "adm512": stage_adm512}[sys.argv[2]]
+              "adm256": stage_adm256, "adm512": stage_adm512,
+              "int8": stage_int8}[sys.argv[2]]
         print(json.dumps(fn()), flush=True)
     else:
         main()

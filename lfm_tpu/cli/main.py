@@ -141,6 +141,10 @@ def _build_parser():
                              "disabled it)")
         fd.add_argument("--no_fused_dit", action="store_true", default=None,
                         help="disable the fused Pallas DiT sampling kernel")
+        s.add_argument("--int8_dit", action="store_true", default=None,
+                       help="opt-in w8a8 int8 DiT sampling (dynamic "
+                            "activation quantization on the int8 MXU; "
+                            "bounded output error, see nn/dit_int8.py)")
         s.add_argument("--eval_noise", type=str, default=None,
                        help='adaptive noise floor: float or "auto" '
                             "(default: per-method policy)")
@@ -207,6 +211,7 @@ def _resolve_config(args):
             use_fused_dit=(False if getattr(args, "no_fused_dit", None)
                            else True if getattr(args, "fused_dit", None)
                            else None),
+            use_int8_dit=(True if getattr(args, "int8_dit", None) else None),
             eval_noise=(None if getattr(args, "eval_noise", None) is None
                         else "auto" if args.eval_noise == "auto"
                         else float(args.eval_noise)),

@@ -76,6 +76,10 @@ class SampleConfig:
     # fused Pallas DiT block for single-chip TPU sampling (nn/dit_fused.py);
     # ignored off-TPU / for non-DiT / mesh-sharded sampling
     use_fused_dit: bool = True
+    # OPT-IN w8a8 int8 sampling (nn/dit_int8.py): block matmuls on the int8
+    # MXU with dynamic per-token activation quantization; bounded output
+    # error (tests/test_dit_int8.py), beyond the reference's bf16 numerics
+    use_int8_dit: bool = False
     # adaptive-solver noise floor: None = per-method policy (auto only for
     # bf16 dopri8; see sample.resolve_eval_noise), or a float / "auto"
     eval_noise: Optional[Any] = None

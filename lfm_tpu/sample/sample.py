@@ -31,7 +31,8 @@ class SampleOutput(NamedTuple):
 
 def build_velocity(model, params, y: Optional[jnp.ndarray], cfg_scale: float,
                    num_classes: Optional[int], *, use_fused_dit: bool = False,
-                   shard_mesh=None, sp_mesh=None, pp_mesh=None):
+                   use_int8_dit: bool = False, shard_mesh=None, sp_mesh=None,
+                   pp_mesh=None):
     """v(t, x) closure, CFG-fused when cfg_scale > 1 (test_flow_latent.py:55-59).
 
     With ``use_fused_dit``, eligible DiT models evaluate through the fused
@@ -78,13 +79,23 @@ def build_velocity(model, params, y: Optional[jnp.ndarray], cfg_scale: float,
             if yy is None:
                 return sp_unlabeled(params, t, x)
             return sp_labeled(params, t, x, yy)
-    elif use_fused_dit or shard_mesh is not None:
+    elif use_fused_dit or use_int8_dit or shard_mesh is not None:
         from lfm_tpu.nn.dit_fused import (cast_params_bf16, dit_fused_apply,
                                           fused_applicable)
+        from lfm_tpu.nn.dit_int8 import (dit_int8_apply, int8_applicable,
+                                         quantize_params_int8)
         bf16_params = None  # cast lazily, only if a call is actually fused
+        int8_params = None  # quantized lazily, only if int8 engages
 
         def local_apply(t, x, yy):
-            nonlocal bf16_params
+            nonlocal bf16_params, int8_params
+            if use_int8_dit and int8_applicable(model, x):
+                # opt-in w8a8 fast path (nn/dit_int8.py): pure XLA, so it
+                # composes with shard_map shards; wins over fused when
+                # explicitly requested
+                if int8_params is None:
+                    int8_params = quantize_params_int8(model, params)
+                return dit_int8_apply(model, int8_params, t, x, yy)
             if use_fused_dit and fused_applicable(
                     model, x, assume_local=shard_mesh is not None):
                 if bf16_params is None:
@@ -221,6 +232,7 @@ def make_sampler(
     def raw(params, vae_params, noise: jnp.ndarray, y) -> SampleOutput:
         velocity = build_velocity(model, params, y, sc.cfg_scale, num_classes,
                                   use_fused_dit=sc.use_fused_dit,
+                                  use_int8_dit=sc.use_int8_dit,
                                   sp_mesh=sp_mesh, pp_mesh=pp_mesh)
         z0, nfe = sample_latents(
             velocity, noise,
