@@ -6,29 +6,43 @@ f8 latent space (32x32x4) for 256px images, the exact per-NFE kernel of the
 reference's FID generation path (reference test_flow_latent.py:161-194,
 models/DiT.py:252-272) — on one TPU chip, bf16 compute.
 
-Structure (round 3): the driver runs ``python bench.py`` under a timeout, so
+Structure (round 4): the driver runs ``python bench.py`` under a timeout, so
 the bench is ORDERED BY VALUE and TIMEOUT-ROBUST. Each stage runs in its own
 subprocess (cold HBM, no cross-stage OOM) and the cumulative record is
 printed+flushed after EVERY stage, so a timeout at any point still leaves a
 complete, parseable JSON line of everything measured so far:
 
+  0. floor     — guaranteed-cheap headline floor: plain-XLA attention (no
+                 Pallas/Mosaic compile), batch 16, euler NFE=100 + VAE
+                 decode. Lands a live nonzero `value` within minutes even
+                 fully cold; later stages only upgrade it.
   1. sampling  — flash-attention module path, euler NFE=100, batch 64
-                 (fast compile; lands the headline number first)
+                 (upgrades the headline)
   2. fused     — fused Pallas whole-block DiT path (slow Mosaic compile;
                  upgrades the headline value when it lands: 8.4 -> 9.1)
-  3. train     — sustained fused train steps (DiT-L/2, latent data, bs32,
-                 remat(dots_attn), bf16, AdamW+EMA; reference instruments
-                 steps/sec at train_flow_latent.py:158-170)
-  4. dopri5    — the real BASELINE metric (dopri5 adaptive, atol=rtol=1e-5,
+  3. dopri5    — the real BASELINE metric (dopri5 adaptive, atol=rtol=1e-5,
                  reference test_flow_latent.py:42-76) on deterministically
                  perturbed weights (random init is adaLN-zero => degenerate
                  adaptive control), recorded as extra.dopri5_*
+  4. train     — sustained fused train steps (DiT-L/2, latent data, bs32,
+                 remat(dots_attn), bf16, AdamW+EMA; reference instruments
+                 steps/sec at train_flow_latent.py:158-170)
   5. adm256    — ADM UNet (origin, celeb256_adm preset) sampling
   6. adm512    — celeb512 ADM, T=4096 flash-attention resolution
 
+AOT executable cache (tools/aot.py): every stage jits through
+``jit_cached``, which loads a pre-compiled serialized executable from
+``tools/aot/`` when the lowered StableHLO matches — the 10-20 min remote
+cold compiles that zeroed BENCH_r02/r03 are skipped entirely when the
+committed cache is valid, and recompiled transparently when not.
+
+Scheduling: stages that fail/time out are NEVER immediately retried; the
+loop moves on and retries failures cheapest-estimate-first with whatever
+budget remains at the end. Budget accounting uses measured elapsed time.
+
 The per-NFE euler proxy remains the headline `value` (comparable to rounds
-1-2); stage 4 records the adaptive-solver metric as an artifact instead of a
-docstring claim.
+1-3); the dopri5 stage records the adaptive-solver metric as an artifact
+instead of a docstring claim.
 
 vs_baseline: ratio against the reference implementation's ESTIMATED A100
 throughput for the same workload, 0.5 samples/sec/GPU — derived from
@@ -82,36 +96,61 @@ REPS = int(os.environ.get("BENCH_REPS", "5"))
 DIT_L2_FWD_FLOPS_PER_SAMPLE = 1.61932e11
 VAE_DECODE_FLOPS_PER_SAMPLE = 6.15809e11
 
-# Per-stage wall-clock estimates (seconds, compile-dominated; measured on
-# the v5e tunnel round 3). Used for budget-based skipping; the subprocess
-# hard timeout is 2.5x this.
-# Measured on the v5e tunnel (2026-08-18 runs: sampling 343s, fused 378s,
-# train 117s, dopri5 ~550s, adm256 ~460s, adm512 ~470s) + headroom; the
-# subprocess hard timeout is 2.5x this.
+# Per-stage wall-clock estimates (seconds): (cold, warm). Cold =
+# compile-dominated, measured on the v5e tunnel (round-3 2026-08-18 runs:
+# sampling 343s, fused 378s, train 117s, dopri5 ~550s, adm256 ~460s,
+# adm512 ~470s — the DRIVER's cold runs exceeded these, hence the AOT
+# cache). Warm = AOT-cache hit (trace+lower+load+run only). The parent
+# picks warm when a tools/aot/<stage>-*.bin exists for the stage, cold
+# otherwise; either way the hard timeout keeps cold-level headroom so a
+# stale cache degrades to a recompile, not a kill.
 STAGE_EST = {
-    "sampling": 390,
-    "fused": 440,
-    "train": 150,
-    "dopri5": 560,
-    "adm256": 520,
-    "adm512": 530,
-    "int8": 420,
+    "floor": (240, 150),
+    "sampling": (420, 180),
+    "fused": (460, 200),
+    "train": (200, 130),
+    "dopri5": (580, 220),
+    "adm256": (520, 200),
+    "adm512": (540, 220),
+    "int8": (440, 180),
 }
-# Order = verdict priority: headline (sampling, upgraded by fused), the
-# BASELINE dopri5 metric, train MFU, then the ADM zoo, then the opt-in int8
-# path (quantized numerics — recorded as an extra, never the headline).
-# Stages that don't fit the budget are skipped live and reported from
-# tools/bench_cache.json (prior on-chip measurements, unambiguously labeled
-# as such).
-STAGES = ["sampling", "fused", "dopri5", "train", "adm256", "adm512", "int8"]
-CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "tools", "bench_cache.json")
+# Order = verdict priority: guaranteed-cheap headline floor, then the full
+# headline (sampling, upgraded by fused), the BASELINE dopri5 metric, train
+# MFU, the ADM zoo, and last the opt-in int8 path (quantized numerics —
+# recorded as an extra, never the headline). Stages that don't fit the
+# budget are skipped live and reported from tools/bench_cache.json (prior
+# on-chip measurements, unambiguously labeled as such).
+STAGES = ["floor", "sampling", "fused", "dopri5", "train", "adm256",
+          "adm512", "int8"]
+_HERE = os.path.dirname(os.path.abspath(__file__))
+CACHE_PATH = os.path.join(_HERE, "tools", "bench_cache.json")
+AOT_DIR = os.path.join(_HERE, "tools", "aot")
 
 
 # --------------------------------------------------------------------------
 # shared helpers (stage subprocesses only — keep the parent stdlib-only so
 # it starts instantly)
 # --------------------------------------------------------------------------
+
+def _jit(name, fn, example_args, donate_argnums=()):
+    """jit through the AOT executable cache (tools/aot.py); falls back to
+    plain jax.jit if the cache machinery is unavailable."""
+    try:
+        from tools.aot import jit_cached
+    except Exception:
+        import jax
+        jitted = jax.jit(fn, donate_argnums=donate_argnums)
+        return jitted
+    return jit_cached(name, fn, example_args, donate_argnums=donate_argnums)
+
+
+def _init_cached(name, init_fn):
+    """Run a parameter init as ONE jitted program instead of hundreds of
+    eager ops — each eager op through the axon tunnel pays its own
+    compile+RPC, which measured ~230 s of a 246 s cold stage. The compiled
+    init program also lands in the AOT cache."""
+    return _jit(name, init_fn, ())()
+
 
 def _sample_loop(apply_velocity, vae, n, latent_hw, nfe):
     """Build sample(noise, params, vae_params)->checksum: euler integrate +
@@ -169,30 +208,64 @@ def _dit_and_vae(use_flash=True):
 
     model = create_dit(DIT_ARCH, img_resolution=32, num_classes=1,
                        dtype=jnp.bfloat16, use_flash=use_flash)
-    params = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1,)), jnp.zeros((1, 32, 32, 4)), None
-    )
+    params = _init_cached("dit_init", lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1,)), jnp.zeros((1, 32, 32, 4)),
+        None))
     vae = AutoencoderKL(dtype=jnp.bfloat16)
-    vae_params = vae.init(
-        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)), jax.random.PRNGKey(2)
-    )
+    vae_params = _init_cached("vae_init", lambda: vae.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)),
+        jax.random.PRNGKey(2)))
     return model, params, vae, vae_params
 
 
-def stage_sampling():
-    """Flash-attention module path: the fast-compiling headline."""
+def stage_floor():
+    """Guaranteed-cheap headline floor: plain-XLA attention (zero
+    Pallas/Mosaic compile risk), batch 16, same euler NFE=100 + VAE-decode
+    workload and metric definition as stage_sampling. Measured fully cold
+    on the v5e tunnel: ~250 s end-to-end dominated by eager param init —
+    now jitted (one program) — with the XLA compile itself only ~15 s, so
+    this stage lands a live nonzero headline within minutes even with a
+    useless AOT cache."""
     import jax
     import jax.numpy as jnp
 
-    model, params, vae, vae_params = _dit_and_vae(use_flash=True)
+    batch = int(os.environ.get("BENCH_FLOOR_BATCH", "16"))
+    model, params, vae, vae_params = _dit_and_vae(use_flash=False)
+
+    sample = _sample_loop(model.apply, vae, batch, 32, NFE)
+    jitted = _jit("floor", sample,
+                  (jnp.zeros((batch, 32, 32, 4)), params, vae_params),
+                  donate_argnums=(0,))
+    best = _time_sampling(jitted, batch, 32, params, vae_params)
+    sps = batch / best
+    flops = batch * (NFE * DIT_L2_FWD_FLOPS_PER_SAMPLE + VAE_DECODE_FLOPS_PER_SAMPLE)
+    return {"floor_samples_per_sec": round(sps, 4),
+            "floor_sample_mfu": round(flops / best / V5E_BF16_PEAK_FLOPS, 4),
+            "floor_config": f"batch {batch}, XLA attention"}
+
+
+def stage_sampling():
+    """Module-path headline at full batch. BENCH_SAMPLING_FLASH=0 runs the
+    plain-XLA attention variant (round-4 audit: XLA attention at T=256
+    matched/beat the Pallas flash kernel on v5e — see tools/bench_cache.json
+    and kernels/__init__.py verdicts)."""
+    import jax
+    import jax.numpy as jnp
+
+    use_flash = os.environ.get("BENCH_SAMPLING_FLASH", "1") == "1"
+    model, params, vae, vae_params = _dit_and_vae(use_flash=use_flash)
 
     sample = _sample_loop(model.apply, vae, BATCH, 32, NFE)
-    jitted = jax.jit(sample, donate_argnums=(0,))
+    jitted = _jit("sampling", sample,
+                  (jnp.zeros((BATCH, 32, 32, 4)), params, vae_params),
+                  donate_argnums=(0,))
     best = _time_sampling(jitted, BATCH, 32, params, vae_params)
     sps = BATCH / best
     flops = BATCH * (NFE * DIT_L2_FWD_FLOPS_PER_SAMPLE + VAE_DECODE_FLOPS_PER_SAMPLE)
     return {"samples_per_sec": round(sps, 4),
-            "sample_mfu": round(flops / best / V5E_BF16_PEAK_FLOPS, 4)}
+            "sample_mfu": round(flops / best / V5E_BF16_PEAK_FLOPS, 4),
+            "sampling_config": ("flash attention" if use_flash
+                                else "XLA attention")}
 
 
 def stage_fused():
@@ -210,7 +283,9 @@ def stage_fused():
         return dit_fused_apply(model, p, tb, x)
 
     sample = _sample_loop(apply_velocity, vae, BATCH, 32, NFE)
-    jitted = jax.jit(sample, donate_argnums=(0,))
+    jitted = _jit("fused", sample,
+                  (jnp.zeros((BATCH, 32, 32, 4)), bf, vae_params),
+                  donate_argnums=(0,))
     best = _time_sampling(jitted, BATCH, 32, bf, vae_params)
     sps = BATCH / best
     flops = BATCH * (NFE * DIT_L2_FWD_FLOPS_PER_SAMPLE + VAE_DECODE_FLOPS_PER_SAMPLE)
@@ -233,8 +308,12 @@ def stage_int8():
     def apply_velocity(p, tb, x):
         return dit_int8_apply(model, p, tb, x)
 
+    import jax.numpy as jnp
+
     sample = _sample_loop(apply_velocity, vae, BATCH, 32, NFE)
-    jitted = jax.jit(sample, donate_argnums=(0,))
+    jitted = _jit("int8", sample,
+                  (jnp.zeros((BATCH, 32, 32, 4)), qp, vae_params),
+                  donate_argnums=(0,))
     best = _time_sampling(jitted, BATCH, 32, qp, vae_params)
     sps = BATCH / best
     flops = BATCH * (NFE * DIT_L2_FWD_FLOPS_PER_SAMPLE + VAE_DECODE_FLOPS_PER_SAMPLE)
@@ -281,7 +360,9 @@ def stage_dopri5():
         img = jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
         return jnp.float32(img.sum()), res.nfe
 
-    jitted = jax.jit(sample, donate_argnums=(0,))
+    jitted = _jit("dopri5", sample,
+                  (jnp.zeros((BATCH, 32, 32, 4)), params, vae_params),
+                  donate_argnums=(0,))
 
     nfe = None
     for _ in range(WARMUP):
@@ -338,11 +419,11 @@ def stage_train():
         model_apply, tx, use_ema=True, is_latent_data=True,
         fused_update=make_fused_adamw_ema(cfg, steps_per_epoch=100),
     )
-    jstep = jax.jit(step, donate_argnums=(0,))
-
     batch = {"x": jax.random.normal(jax.random.PRNGKey(4),
                                     (TRAIN_BATCH, 32, 32, 4))}
     key = jax.random.PRNGKey(5)
+    jstep = _jit("train_step", step, (state, batch, key),
+                 donate_argnums=(0,))
 
     state, m = jstep(state, batch, key)
     _ = float(m.loss)
@@ -387,7 +468,10 @@ def _adm_stage(preset_name, batch, nfe, key_prefix):
     )
 
     sample = _sample_loop(model.apply, vae, batch, hw, nfe)
-    jitted = jax.jit(sample, donate_argnums=(0,))
+    jitted = _jit(key_prefix, sample,
+                  (jnp.zeros((batch, hw, hw, mc.num_in_channels)), params,
+                   vae_params),
+                  donate_argnums=(0,))
     best = _time_sampling(jitted, batch, hw, params, vae_params,
                           chan=mc.num_in_channels)
     return {f"{key_prefix}_samples_per_sec": round(batch / best, 4),
@@ -411,19 +495,40 @@ def stage_adm512():
 # parent orchestration
 # --------------------------------------------------------------------------
 
-def _emit(value, unit_note, extra):
+def _emit(value, unit, extra):
     print(json.dumps({
         "metric": "celeb256_dit_samples_per_sec_per_chip",
         "value": round(value, 4),
-        "unit": f"samples/sec ({DIT_ARCH}, {NFE}-NFE euler + VAE decode, "
-                f"bf16, batch {BATCH}{unit_note})",
+        "unit": unit,
         "vs_baseline": round(value / A100_BASELINE_SAMPLES_PER_SEC, 3),
         "extra": extra,
     }), flush=True)
 
 
+def _unit(note):
+    return (f"samples/sec ({DIT_ARCH}, {NFE}-NFE euler + VAE decode, "
+            f"bf16{note})")
+
+
+def _est(name):
+    """Stage wall-clock estimate: warm when an AOT executable exists for
+    the stage (the key suffix may still be stale — the hard timeout keeps
+    cold headroom for that), cold otherwise."""
+    cold, warm = STAGE_EST[name]
+    try:
+        entries = [f for f in os.listdir(AOT_DIR)
+                   if f.startswith(f"{name}-") and f.endswith(".bin")]
+    except OSError:
+        entries = []
+    return warm if entries else cold
+
+
 def _run_stage(name, remaining):
-    hard = int(min(remaining, STAGE_EST[name] * 2.5))
+    # Hard timeout: generous (cold headroom even on a warm estimate, so a
+    # stale AOT cache degrades to a recompile), but never the whole
+    # remaining budget when other stages still deserve a shot.
+    cold, _ = STAGE_EST[name]
+    hard = int(min(remaining, max(cold * 1.6, _est(name) * 2.5)))
     t0 = time.time()
     try:
         proc = subprocess.run(
@@ -439,6 +544,9 @@ def _run_stage(name, remaining):
         print(f"[bench] stage {name} rc={proc.returncode}: {tail}",
               file=sys.stderr)
         return None, time.time() - t0
+    for line in (proc.stderr or "").splitlines():
+        if line.startswith("[aot]"):
+            print(line, file=sys.stderr)
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
             return json.loads(line), time.time() - t0
@@ -448,59 +556,84 @@ def _run_stage(name, remaining):
     return None, time.time() - t0
 
 
+class _Record:
+    """Cumulative bench record; re-emitted after every completed stage so a
+    parent-level timeout still leaves a full parseable JSON line."""
+
+    def __init__(self):
+        self.value = 0.0
+        self.unit = _unit(", NO STAGE COMPLETED")
+        self.extra = {}
+        self.skipped = []
+        self.failed = []
+
+    def absorb(self, name, result):
+        self.extra.update(result)
+        if name == "floor" and self.value == 0.0:
+            self.value = result["floor_samples_per_sec"]
+            self.unit = _unit(f", {result['floor_config']} [floor stage]")
+        elif name == "sampling" and result["samples_per_sec"] > self.value:
+            self.value = result["samples_per_sec"]
+            self.unit = _unit(f", batch {BATCH}")
+        elif (name == "fused"
+              and result["samples_per_sec_fused"] > self.value):
+            self.value = result["samples_per_sec_fused"]
+            self.unit = _unit(f", batch {BATCH}, fused Pallas DiT block")
+            self.extra["sample_mfu"] = result["sample_mfu_fused"]
+
+    def emit(self, final=False):
+        not_live = sorted(set(self.skipped) | set(self.failed))
+        if self.failed:
+            self.extra["failed"] = ",".join(sorted(set(self.failed)))
+        if self.skipped:
+            self.extra["skipped"] = ",".join(sorted(set(self.skipped)))
+        if final and not_live:
+            cached = _load_cache(not_live)
+            if cached:
+                # NOT measured in this run — prior on-chip measurements
+                # kept so a budget-skipped stage still leaves its
+                # last-known numbers, clearly separated from live keys.
+                self.extra["cached_prior_run"] = cached
+        _emit(self.value, self.unit, self.extra)
+
+
 def main():
     start = time.time()
     budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     only = os.environ.get("BENCH_STAGES")  # comma-list override
-    stages = [s for s in (only.split(",") if only else STAGES) if s in STAGE_EST]
+    stages = [s for s in (only.split(",") if only else STAGES)
+              if s in STAGE_EST]
 
-    value = 0.0
-    unit_note = ""
-    extra = {}
-    skipped = []
+    rec = _Record()
     for name in stages:
         remaining = budget - (time.time() - start)
-        if remaining < STAGE_EST[name] * 1.2:
-            skipped.append(name)
+        if remaining < _est(name) * 1.1:
+            rec.skipped.append(name)
             continue
         result, dur = _run_stage(name, remaining)
         print(f"[bench] stage {name}: {dur:.0f}s -> {result}", file=sys.stderr)
         if result is None:
-            # one retry if the budget still allows — the tunnel's remote
-            # compile RPC drops transiently (observed: "response body closed
-            # before all bytes were read" mid-compile)
-            remaining = budget - (time.time() - start)
-            if remaining >= STAGE_EST[name] * 1.2:
-                result, dur = _run_stage(name, remaining)
-                print(f"[bench] stage {name} (retry): {dur:.0f}s -> {result}",
-                      file=sys.stderr)
-        if result is None:
-            skipped.append(name)  # failed: fall back to cache like a skip
+            # NO immediate retry (r03 failure mode: the most expensive
+            # stage ate the whole budget twice). Move on; failures are
+            # retried cheapest-first at the end if budget remains.
+            rec.failed.append(name)
             continue
-        extra.update(result)
-        if name == "sampling":
-            value = result["samples_per_sec"]
-        elif name == "fused" and result["samples_per_sec_fused"] > value:
-            value = result["samples_per_sec_fused"]
-            unit_note = ", fused Pallas DiT block"
-            extra["sample_mfu"] = result["sample_mfu_fused"]
-        if value > 0:
-            if skipped:
-                extra["skipped"] = ",".join(skipped)
-            _emit(value, unit_note, extra)
-    if skipped:
-        extra["skipped"] = ",".join(skipped)
-        cached = _load_cache(skipped)
-        if cached:
-            # NOT measured in this run — prior on-chip measurements kept so
-            # a budget-skipped stage still leaves its last-known numbers,
-            # clearly separated from the live keys above.
-            extra["cached_prior_run"] = cached
-    if value > 0:
-        _emit(value, unit_note, extra)
-    else:
-        # nothing landed: still print a parseable record
-        _emit(0.0, ", NO STAGE COMPLETED", extra)
+        rec.absorb(name, result)
+        rec.emit()
+    # second pass: retry failures cheapest-estimate-first — a transient
+    # tunnel drop or one stale-cache recompile shouldn't zero a stage
+    for name in sorted(rec.failed, key=_est):
+        remaining = budget - (time.time() - start)
+        if remaining < _est(name) * 1.1:
+            continue
+        result, dur = _run_stage(name, remaining)
+        print(f"[bench] stage {name} (retry): {dur:.0f}s -> {result}",
+              file=sys.stderr)
+        if result is not None:
+            rec.failed.remove(name)
+            rec.absorb(name, result)
+            rec.emit()
+    rec.emit(final=True)
 
 
 def _load_cache(skipped):
@@ -517,10 +650,10 @@ def _load_cache(skipped):
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
-        fn = {"sampling": stage_sampling, "fused": stage_fused,
-              "train": stage_train, "dopri5": stage_dopri5,
-              "adm256": stage_adm256, "adm512": stage_adm512,
-              "int8": stage_int8}[sys.argv[2]]
+        fn = {"floor": stage_floor, "sampling": stage_sampling,
+              "fused": stage_fused, "train": stage_train,
+              "dopri5": stage_dopri5, "adm256": stage_adm256,
+              "adm512": stage_adm512, "int8": stage_int8}[sys.argv[2]]
         print(json.dumps(fn()), flush=True)
     else:
         main()
