@@ -70,33 +70,47 @@ def _tmap(f, *trees):
     return jax.tree_util.tree_map(f, *trees)
 
 
+def _acc():
+    """Accumulation/controller dtype: f32 by default, f64 when the caller
+    enabled jax_enable_x64 (the reference passes options={'dtype': float64}
+    to torchdiffeq for adaptive solving, test_flow_latent.py:44-46; on TPU
+    f64 is soft so production sampling stays f32, but CPU parity tests pin
+    the controller against the float64 reference trace)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
 def _axpy(a, x, y):  # y + a*x, a scalar
     return _tmap(lambda xi, yi: yi + a * xi.astype(yi.dtype), x, y)
 
 
 def _combine(y0, ks, coeffs, dt):
     """y0 + dt * sum_i coeffs[i] * ks[i] over pytrees."""
+    acc_t = _acc()
+
     def leafsum(y0_leaf, *k_leaves):
-        acc = y0_leaf.astype(jnp.float32)
+        acc = y0_leaf.astype(acc_t)
         for c, k in zip(coeffs, k_leaves):
             if c != 0.0:
-                acc = acc + (dt * c) * k.astype(jnp.float32)
+                acc = acc + (dt * c) * k.astype(acc_t)
         return acc.astype(y0_leaf.dtype)
     return _tmap(leafsum, y0, *ks)
 
 
 def _rms_norm(tree) -> jnp.ndarray:
+    acc_t = _acc()
     leaves = jax.tree_util.tree_leaves(tree)
-    sq = sum(jnp.sum(jnp.square(l.astype(jnp.float32))) for l in leaves)
+    sq = sum(jnp.sum(jnp.square(l.astype(acc_t))) for l in leaves)
     n = sum(l.size for l in leaves)
     return jnp.sqrt(sq / n)
 
 
 def _error_ratio(err, y0, y1, rtol, atol) -> jnp.ndarray:
     """RMS of err / (atol + rtol*max(|y0|,|y1|)) — torchdiffeq's error norm."""
+    acc_t = _acc()
+
     def leaf(e, a, b):
-        tol = atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b)).astype(jnp.float32)
-        return jnp.square(e.astype(jnp.float32) / tol)
+        tol = atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b)).astype(acc_t)
+        return jnp.square(e.astype(acc_t) / tol)
     sq_tree = _tmap(leaf, err, y0, y1)
     leaves = jax.tree_util.tree_leaves(sq_tree)
     total = sum(jnp.sum(l) for l in leaves)
@@ -116,6 +130,7 @@ class Tableau:
     b: tuple             # solution weights
     b_err: tuple         # (b - b_hat): error-estimate weights
     fsal: bool = False   # first-same-as-last
+    c_mid: tuple = ()    # midpoint weights for the quartic dense-output fit
 
 
 DOPRI5 = Tableau(
@@ -137,6 +152,13 @@ DOPRI5 = Tableau(
         11 / 84 - 649 / 6300, -1 / 60,
     ),
     fsal=True,
+    # torchdiffeq's DPS_C_MID (dopri5.py): y(t0 + dt/2) ~= y0 + dt * c_mid.k,
+    # feeding the quartic dense-output fit used to evaluate off-grid times
+    c_mid=(
+        6025192743 / 30085553152 / 2, 0.0, 51252292925 / 65400821598 / 2,
+        -2691868925 / 45128329728 / 2, 187940372067 / 1594534317056 / 2,
+        -1776094331 / 19743644256 / 2, 11237099 / 235043384 / 2,
+    ),
 )
 
 BOSH3 = Tableau(
@@ -204,7 +226,7 @@ def _rk_step(func: Velocity, tab: Tableau, t, dt, y0, f0):
     y1 = _combine(y0, ks, tab.b, dt)
     err = _tmap(
         lambda *kl: sum(
-            (dt * c) * k.astype(jnp.float32) for c, k in zip(tab.b_err, kl) if c != 0.0
+            (dt * c) * k.astype(_acc()) for c, k in zip(tab.b_err, kl) if c != 0.0
         ),
         *ks,
     )
@@ -213,25 +235,42 @@ def _rk_step(func: Velocity, tab: Tableau, t, dt, y0, f0):
     return y1, f1, err, evals, ks
 
 
-def _dopri5_interp_matrix() -> np.ndarray:
-    """Quartic dense-output matrix P for Dormand-Prince 5(4) (the published
-    Shampine coefficients, via scipy's RK45.P): y(t + theta*h) =
-    y0 + h * sum_m (K^T P)[:, m] * theta^(m+1)."""
-    from scipy.integrate._ivp.rk import RK45
+def _interp_fit(y0, y1, ks, dt, c_mid):
+    """torchdiffeq's quartic dense-output fit (rk_common.py::_interp_fit):
+    a polynomial in x = (t - t0)/dt through y0 (x=0), y1 (x=1), the
+    c_mid-estimated midpoint, and slopes dt*f0 / dt*f1 at the ends. Returns
+    per-leaf stacked coefficients (5, *shape), highest power first. This is
+    torchdiffeq's interpolant — NOT scipy's Shampine P matrix — because the
+    reference evaluates odeint at t=0 through exactly this fit
+    (test_flow_latent.py:61-73 -> torchdiffeq _interp_evaluate)."""
+    acc_t = _acc()
 
-    return np.asarray(RK45.P, np.float64)  # (7, 4)
+    def leaf(y0l, y1l, *kl):
+        y0f = y0l.astype(acc_t)
+        y1f = y1l.astype(acc_t)
+        ym = y0f + dt * sum(c * k.astype(acc_t)
+                            for c, k in zip(c_mid, kl) if c != 0.0)
+        f0 = dt * kl[0].astype(acc_t)
+        f1 = dt * kl[-1].astype(acc_t)
+        a = 2.0 * (f1 - f0) - 8.0 * (y1f + y0f) + 16.0 * ym
+        b = 5.0 * f0 - 3.0 * f1 + 18.0 * y0f + 14.0 * y1f - 32.0 * ym
+        c = f1 - 4.0 * f0 - 11.0 * y0f - 5.0 * y1f + 16.0 * ym
+        return jnp.stack([a, b, c, f0, y0f])
+
+    return _tmap(leaf, y0, y1, *ks)
 
 
 def _initial_step(func, t0, y0, f0, order, rtol, atol, direction):
     """Hairer/Wanner initial-step heuristic (as in torchdiffeq/scipy)."""
-    scale = _tmap(lambda y: atol + rtol * jnp.abs(y.astype(jnp.float32)), y0)
-    d0 = _rms_norm(_tmap(lambda y, s: y.astype(jnp.float32) / s, y0, scale))
-    d1 = _rms_norm(_tmap(lambda f, s: f.astype(jnp.float32) / s, f0, scale))
+    acc_t = _acc()
+    scale = _tmap(lambda y: atol + rtol * jnp.abs(y.astype(acc_t)), y0)
+    d0 = _rms_norm(_tmap(lambda y, s: y.astype(acc_t) / s, y0, scale))
+    d1 = _rms_norm(_tmap(lambda f, s: f.astype(acc_t) / s, f0, scale))
     h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
 
     y1 = _axpy(h0 * direction, f0, y0)
     f1 = func(t0 + h0 * direction, y1)
-    d2 = _rms_norm(_tmap(lambda a, b, s: (a - b).astype(jnp.float32) / s, f1, f0, scale)) / h0
+    d2 = _rms_norm(_tmap(lambda a, b, s: (a - b).astype(acc_t) / s, f1, f0, scale)) / h0
 
     h1 = jnp.where(
         jnp.maximum(d1, d2) <= 1e-15,
@@ -252,8 +291,8 @@ class _AdaptiveState(NamedTuple):
     # dense-output carry (dopri5 only; zeros otherwise)
     t_prev: jnp.ndarray
     h_prev: jnp.ndarray
-    y_prev: Any
-    q: Any  # per-leaf (4, *shape): K^T P interpolation coefficients
+    q: Any  # per-leaf (5, *shape): quartic fit coefficients, high power first
+    trace: Any  # () or (t, dt, accept, ratio) arrays when record_trace
 
 
 def _odeint_adaptive(
@@ -269,6 +308,7 @@ def _odeint_adaptive(
     ifactor: float = 10.0,
     dfactor: float = 0.2,
     eval_noise: Any = 0.0,
+    record_trace: bool = False,
 ) -> ODEResult:
     """torchdiffeq-style adaptive integration. For dopri5 the final value is
     the quartic dense-output interpolant evaluated at t1 from the step that
@@ -276,10 +316,10 @@ def _odeint_adaptive(
     steps to land on t1); other adaptive methods clamp the final step."""
     tab = _get_tableau(method)
     dense = method == "dopri5"
-    P = jnp.asarray(_dopri5_interp_matrix(), jnp.float32) if dense else None
+    acc_t = _acc()
     direction = 1.0 if t1 >= t0 else -1.0
-    t0 = jnp.asarray(t0, jnp.float32)
-    t1 = jnp.asarray(t1, jnp.float32)
+    t0 = jnp.asarray(t0, acc_t)
+    t1 = jnp.asarray(t1, acc_t)
 
     f0 = func(t0, y0)
 
@@ -299,21 +339,33 @@ def _odeint_adaptive(
         d = 1e-4
         y_probe = _tmap(lambda l: l + d * (jnp.abs(l) + 1.0), y0)
         f_probe = func(t0, y_probe)
-        diff2 = _rms_norm(_tmap(lambda a, b: a.astype(jnp.float32)
-                                - b.astype(jnp.float32), f_probe, f0))
+        diff2 = _rms_norm(_tmap(lambda a, b: a.astype(_acc())
+                                - b.astype(_acc()), f_probe, f0))
         eval_noise = 1.5 * diff2 / (jnp.sqrt(2.0) * (_rms_norm(f0) + 1e-20))
         n_extra = 1.0
 
-    dt0 = _initial_step(func, t0, y0, f0, tab.order, rtol, atol, direction) * direction
+    # torchdiffeq calls _select_initial_step with ``self.order - 1``
+    # (rk_common.py) so the heuristic exponent is 1/order, matching
+    # scipy's error_estimator_order convention.
+    dt0 = _initial_step(func, t0, y0, f0, tab.order - 1, rtol, atol,
+                        direction) * direction
     zeros_q = _tmap(
-        lambda l: jnp.zeros((4,) + jnp.shape(l), jnp.float32), y0
+        lambda l: jnp.zeros((5,) + jnp.shape(l), acc_t), y0
     ) if dense else None
+    if record_trace:
+        trace0 = (jnp.zeros((max_steps,), acc_t),
+                  jnp.zeros((max_steps,), acc_t),
+                  jnp.zeros((max_steps,), jnp.bool_),
+                  jnp.zeros((max_steps,), acc_t))
+    else:
+        trace0 = ()
     init = _AdaptiveState(
         t=t0, y=y0, f=f0, dt=dt0,
         nfe=jnp.asarray(2.0 + n_extra, jnp.float32),  # f0 + initial-step probe (+ noise probe)
         steps=jnp.asarray(0, jnp.int32),
         rejected=jnp.asarray(0, jnp.int32),
-        t_prev=t0, h_prev=jnp.asarray(1.0, jnp.float32), y_prev=y0, q=zeros_q,
+        t_prev=t0, h_prev=jnp.asarray(1.0, acc_t), q=zeros_q,
+        trace=trace0,
     )
 
     def cond(s: _AdaptiveState):
@@ -342,7 +394,7 @@ def _odeint_adaptive(
             # is the truncation component.
             noise = _tmap(
                 lambda *kl: jnp.abs(dt) * eval_noise * jnp.sqrt(
-                    sum((c * c) * jnp.square(k.astype(jnp.float32))
+                    sum((c * c) * jnp.square(k.astype(_acc()))
                         for c, k in zip(tab.b_err, kl) if c != 0.0)
                 ),
                 *ks,
@@ -366,46 +418,53 @@ def _odeint_adaptive(
         f_new = _tmap(lambda a, b: jnp.where(accept, a, b), f1, s.f)
 
         if dense:
-            k_stack = _tmap(
-                lambda *kl: jnp.stack([k.astype(jnp.float32) for k in kl]), *ks
-            )  # per leaf: (7, *shape)
-            q_new = _tmap(
-                lambda kst: jnp.einsum("s...,sm->m...", kst, P), k_stack
-            )
+            q_new = _interp_fit(s.y, y1, ks, dt, tab.c_mid)
             q = _tmap(lambda a, b: jnp.where(accept, a, b), q_new, s.q)
             t_prev = jnp.where(accept, s.t, s.t_prev)
             h_prev = jnp.where(accept, dt, s.h_prev)
-            y_prev = _tmap(lambda a, b: jnp.where(accept, a, b), s.y, s.y_prev)
         else:
-            q, t_prev, h_prev, y_prev = s.q, s.t_prev, s.h_prev, s.y_prev
+            q, t_prev, h_prev = s.q, s.t_prev, s.h_prev
+
+        if record_trace:
+            i = s.steps + s.rejected
+            trace = (s.trace[0].at[i].set(s.t.astype(_acc())),
+                     s.trace[1].at[i].set(dt.astype(_acc())),
+                     s.trace[2].at[i].set(accept),
+                     s.trace[3].at[i].set(ratio.astype(_acc())))
+        else:
+            trace = s.trace
 
         return _AdaptiveState(
             t=t_new, y=y_new, f=f_new, dt=dt_next,
             nfe=s.nfe + evals,
             steps=s.steps + accept.astype(jnp.int32),
             rejected=s.rejected + (1 - accept.astype(jnp.int32)),
-            t_prev=t_prev, h_prev=h_prev, y_prev=y_prev, q=q,
+            t_prev=t_prev, h_prev=h_prev, q=q, trace=trace,
         )
 
     final = lax.while_loop(cond, body, init)
 
     y_out = final.y
     if dense:
-        # evaluate the interpolant of the crossing step at t1
-        theta = (t1 - final.t_prev) / final.h_prev
-        powers = jnp.stack([theta ** (m + 1) for m in range(4)])  # (4,)
+        # evaluate the crossing step's quartic fit at t1 (torchdiffeq
+        # _interp_evaluate: Horner in x = (t - t0)/(t1 - t0))
+        x = (t1 - final.t_prev) / final.h_prev
 
-        def interp(yp, ql, yl):
-            corr = jnp.tensordot(powers, ql, axes=(0, 0)) * final.h_prev
-            interped = yp.astype(jnp.float32) + corr
+        def interp(ql, yl):
+            acc = ql[0]
+            for m in range(1, 5):
+                acc = acc * x + ql[m]
             # fall back to the raw endpoint when no step was taken
             took_step = final.steps > 0
-            return jnp.where(took_step, interped.astype(yl.dtype), yl)
+            return jnp.where(took_step, acc.astype(yl.dtype), yl)
 
-        y_out = _tmap(interp, final.y_prev, final.q, final.y)
+        y_out = _tmap(interp, final.q, final.y)
 
-    return ODEResult(y=y_out, nfe=final.nfe, num_steps=final.steps,
-                     num_rejected=final.rejected)
+    res = ODEResult(y=y_out, nfe=final.nfe, num_steps=final.steps,
+                    num_rejected=final.rejected)
+    if record_trace:
+        return res, final.trace
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -571,6 +630,7 @@ def odeint(
     num_steps: Optional[int] = None,
     max_steps: int = 10_000,
     eval_noise: Any = 0.0,
+    record_trace: bool = False,
 ) -> ODEResult:
     """Integrate dy/dt = func(t, y) from t0 to t1.
 
@@ -581,11 +641,16 @@ def odeint(
     ``eval_noise`` is the relative evaluation noise of ``func`` used to
     noise-floor the adaptive error estimate: a float, or ``"auto"`` to
     calibrate it with one probe evaluation at t0 (the right setting for
-    bf16 models; see module docstring).
+    bf16 models; see module docstring). ``record_trace`` (adaptive only)
+    additionally returns (t, dt, accept, error_ratio) arrays of length
+    ``max_steps`` — one row per attempted step — for controller parity
+    tests against the float64 torchdiffeq transliteration
+    (tests/tdq_ref.py).
     """
     if method in ADAPTIVE_SOLVERS:
         return _odeint_adaptive(func, y0, t0, t1, method, rtol, atol, max_steps,
-                                eval_noise=eval_noise)
+                                eval_noise=eval_noise,
+                                record_trace=record_trace)
     if method in _FIXED_TABLEAUS:
         if num_steps is None:
             ss = step_size if step_size else 0.01
