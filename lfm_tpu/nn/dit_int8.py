@@ -40,7 +40,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from lfm_tpu.nn.dit_fused import _dense, _pick_samples_per_cell
+from lfm_tpu.nn.dit_fused import _dense
 from lfm_tpu.nn.layers import get_2d_sincos_pos_embed, timestep_embedding
 
 _LN_EPS = 1e-6
@@ -88,16 +88,25 @@ def quantize_params_int8(model, variables: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-def int8_applicable(model, x: jnp.ndarray) -> bool:
-    """Trace-time gate: a scan-blocks DiT whose batch tiles evenly. Unlike
-    the Pallas fused path this is pure XLA, so any backend qualifies (CPU
-    runs the same program in tests); int8 MXU speed needs a TPU."""
+def int8_model_ok(model) -> bool:
+    """Model-only eligibility: a scan-blocks DiT with head-dividing width.
+    Unlike the Pallas fused path this is pure XLA — no batch/sequence tiling
+    constraint — so eligibility is decidable before the input shape is
+    known, which lets make_sampler pre-quantize the param tree once."""
     from lfm_tpu.nn.dit import DiT  # local import to avoid cycle
 
     if not isinstance(model, DiT) or not model.scan_blocks:
         return False
-    t = (model.img_resolution // model.patch_size) ** 2
-    return model.hidden_size % model.num_heads == 0 and t >= 1
+    return model.hidden_size % model.num_heads == 0
+
+
+def int8_applicable(model, x: jnp.ndarray) -> bool:
+    """Trace-time gate for dispatch sites that hold an input. The pure-XLA
+    int8 path has no input-shape constraint, so this is the model-only
+    check; any backend qualifies (CPU runs the same program in tests) —
+    int8 MXU speed needs a TPU."""
+    del x
+    return int8_model_ok(model)
 
 
 def _quant_rows(x: jnp.ndarray):

@@ -31,8 +31,8 @@ class SampleOutput(NamedTuple):
 
 def build_velocity(model, params, y: Optional[jnp.ndarray], cfg_scale: float,
                    num_classes: Optional[int], *, use_fused_dit: bool = False,
-                   use_int8_dit: bool = False, shard_mesh=None, sp_mesh=None,
-                   pp_mesh=None):
+                   use_int8_dit: bool = False, params_pre: Optional[str] = None,
+                   shard_mesh=None, sp_mesh=None, pp_mesh=None):
     """v(t, x) closure, CFG-fused when cfg_scale > 1 (test_flow_latent.py:55-59).
 
     With ``use_fused_dit``, eligible DiT models evaluate through the fused
@@ -64,16 +64,24 @@ def build_velocity(model, params, y: Optional[jnp.ndarray], cfg_scale: float,
                 return pp_unlabeled(params, t, x)
             return pp_labeled(params, t, x, yy)
     elif sp_mesh is not None:
-        # Sequence parallelism (core/ring.py): batch over `data`, latent
-        # rows over `seq`. Subsumes the data-only shard_mesh path; attention
-        # runs as a ppermute ring, so the fused/Pallas single-device paths
-        # do not apply inside these shards.
+        # Sequence parallelism: batch over `data`, latent rows over `seq`.
+        # Two mechanisms by family: DiT runs the explicit ppermute ring
+        # (core/ring.py) inside shard_map; conv UNets (ADM/EDM) run under
+        # GSPMD spatial partitioning — XLA inserts conv halo exchanges and
+        # norm/attention collectives (sample/sp.py::make_spatial_sp_apply).
+        # Either way the fused/Pallas single-device paths do not apply.
         from lfm_tpu.core.sharding import SEQ_AXIS
-        from lfm_tpu.sample.sp import make_sp_apply
+        from lfm_tpu.nn.dit import DiT
+        from lfm_tpu.sample.sp import make_sp_apply, make_spatial_sp_apply
 
-        model_sp = model.copy(sp_axis=SEQ_AXIS)
-        sp_labeled = make_sp_apply(model_sp, sp_mesh)
-        sp_unlabeled = make_sp_apply(model_sp, sp_mesh, has_labels=False)
+        if isinstance(model, DiT):
+            model_sp = model.copy(sp_axis=SEQ_AXIS)
+            sp_labeled = make_sp_apply(model_sp, sp_mesh)
+            sp_unlabeled = make_sp_apply(model_sp, sp_mesh, has_labels=False)
+        else:
+            sp_labeled = make_spatial_sp_apply(model, sp_mesh)
+            sp_unlabeled = make_spatial_sp_apply(model, sp_mesh,
+                                                 has_labels=False)
 
         def apply(t, x, yy):
             if yy is None:
@@ -92,7 +100,12 @@ def build_velocity(model, params, y: Optional[jnp.ndarray], cfg_scale: float,
             if use_int8_dit and int8_applicable(model, x):
                 # opt-in w8a8 fast path (nn/dit_int8.py): pure XLA, so it
                 # composes with shard_map shards; wins over fused when
-                # explicitly requested
+                # explicitly requested. make_sampler pre-quantizes the tree
+                # ONCE and passes it through jit as an argument
+                # (params_pre == "int8"); the lazy path remains for direct
+                # build_velocity callers holding an f32 tree.
+                if params_pre == "int8":
+                    return dit_int8_apply(model, params, t, x, yy)
                 if int8_params is None:
                     int8_params = quantize_params_int8(model, params)
                 return dit_int8_apply(model, int8_params, t, x, yy)
@@ -229,10 +242,23 @@ def make_sampler(
     num_classes = config.model.num_classes
     eval_noise = resolve_eval_noise(sc, model)
 
+    params_pre = None
+    if sc.use_int8_dit and sp_mesh is None and pp_mesh is None:
+        from lfm_tpu.nn.dit_int8 import int8_model_ok, quantize_params_int8
+
+        if int8_model_ok(model):
+            # Quantize ONCE at sampler build time and pass the int8 tree
+            # through jit as an argument — quantizing inside the traced
+            # velocity would re-run per ODE step unless XLA hoists it, and
+            # would keep the f32 tree live next to the int8 copy.
+            params = quantize_params_int8(model, params)
+            params_pre = "int8"
+
     def raw(params, vae_params, noise: jnp.ndarray, y) -> SampleOutput:
         velocity = build_velocity(model, params, y, sc.cfg_scale, num_classes,
                                   use_fused_dit=sc.use_fused_dit,
                                   use_int8_dit=sc.use_int8_dit,
+                                  params_pre=params_pre,
                                   sp_mesh=sp_mesh, pp_mesh=pp_mesh)
         z0, nfe = sample_latents(
             velocity, noise,
