@@ -93,15 +93,26 @@ def sync_hosts() -> float:
     transferred to the host. The device->host transfer is the
     synchronization point — ``block_until_ready`` does NOT wait on the
     axon-tunnel TPU platform (see CLAUDE.md environment rules), so we
-    ``float()`` the reduction instead. Returns the sum (== device count)."""
+    ``float()`` the reduction instead. Returns the sum (== device count).
+
+    Multi-host correct: each process materializes only its ADDRESSABLE
+    shards (``make_array_from_callback``; a plain ``device_put`` onto a
+    global mesh would try to write non-addressable devices), and the sum
+    runs under jit with a replicated out-sharding so every process can read
+    the scalar. Validated by the real 2-process rendezvous test
+    (tests/test_multihost.py::test_real_two_process_rendezvous)."""
     import numpy as np
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     devices = np.asarray(jax.devices())
     mesh = Mesh(devices, ("d",))
-    x = jax.device_put(jnp.ones((len(devices),)), NamedSharding(mesh, P("d")))
-    return float(jnp.sum(x))  # scalar transfer == the real barrier
+    sharding = NamedSharding(mesh, P("d"))
+    x = jax.make_array_from_callback(
+        (len(devices),), sharding,
+        lambda idx: np.ones((1,), np.float32))
+    total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(x)
+    return float(total)  # scalar transfer == the real barrier
 
 
 def data_shard() -> tuple:
