@@ -400,10 +400,12 @@ def stage_train():
                                      make_optimizer)
     from lfm_tpu.train.train import make_train_step
 
+    # "full" = remat with no save policy (recompute everything) — the
+    # memory-minimal mode that admits bs64/bs128 (VERDICT r3 item 3 sweep)
     model = create_dit(
         DIT_ARCH, img_resolution=32, num_classes=1, dtype=jnp.bfloat16,
         remat=TRAIN_REMAT != "none",
-        remat_policy=None if TRAIN_REMAT == "none" else TRAIN_REMAT,
+        remat_policy=None if TRAIN_REMAT in ("none", "full") else TRAIN_REMAT,
         use_flash=TRAIN_FLASH, scan_unroll=TRAIN_UNROLL)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1,)),
                         jnp.zeros((1, 32, 32, 4)), None)
