@@ -1,0 +1,80 @@
+"""tools/aot.py: the AOT executable cache bench.py stages jit through.
+
+CPU-backend round-trip: a miss compiles and serializes; a hit deserializes
+and returns a runnable executable with identical results; changing the
+program (shape or code) changes the key and misses instead of returning a
+stale executable.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tools import aot
+
+
+@pytest.fixture()
+def aot_dir(tmp_path, monkeypatch):
+    d = str(tmp_path / "aot")
+    monkeypatch.setattr(aot, "AOT_DIR", d)
+    return d
+
+
+def _files(d):
+    return sorted(f for f in os.listdir(d) if f.endswith(".bin")) if os.path.isdir(d) else []
+
+
+def test_miss_save_hit_roundtrip(aot_dir):
+    def f(x, y):
+        return jnp.tanh(x @ y).sum()
+
+    x = jnp.ones((16, 16), jnp.float32)
+    c1 = aot.jit_cached("t", f, (x, x))
+    want = float(c1(x, x))
+    files = _files(aot_dir)
+    assert len(files) == 1 and files[0].startswith("t-")
+
+    # second call: must load the serialized executable (poison compile to
+    # prove the compile path is not taken)
+    import jax.stages
+
+    class _Boom:
+        def __get__(self, *a):
+            raise AssertionError("compile() called on a cache hit")
+
+    c2 = aot.jit_cached("t", f, (x, x))
+    got = float(c2(x, x))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    assert _files(aot_dir) == files  # no new entry
+
+
+def test_program_change_rekeys(aot_dir):
+    def f(x):
+        return (x * 2.0).sum()
+
+    def g(x):
+        return (x * 3.0).sum()
+
+    x = jnp.ones((8,), jnp.float32)
+    aot.jit_cached("t", f, (x,))
+    aot.jit_cached("t", g, (x,))  # different program, same name
+    assert len(_files(aot_dir)) == 2
+    # different shape also re-keys
+    aot.jit_cached("t", f, (jnp.ones((4,), jnp.float32),))
+    assert len(_files(aot_dir)) == 3
+
+
+def test_corrupt_entry_falls_back_to_compile(aot_dir):
+    def f(x):
+        return (x + 1.0).sum()
+
+    x = jnp.ones((8,), jnp.float32)
+    aot.jit_cached("t", f, (x,))
+    path = os.path.join(aot_dir, _files(aot_dir)[0])
+    with open(path, "wb") as fh:
+        fh.write(b"garbage")
+    c = aot.jit_cached("t", f, (x,))  # load fails -> recompile transparently
+    assert float(c(x)) == 16.0

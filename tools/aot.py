@@ -88,9 +88,13 @@ def jit_cached(name: str, fn, example_args, *, donate_argnums=(),
             from jax.experimental.serialize_executable import (
                 deserialize_and_load)
 
-            payload, in_tree, out_tree = _read(path)
+            entry = _read(path)
+            payload, in_tree, out_tree, dev_ids = entry
             t0 = time.time()
-            compiled = deserialize_and_load(payload, in_tree, out_tree)
+            by_id = {d.id: d for d in jax.devices()}
+            compiled = deserialize_and_load(
+                payload, in_tree, out_tree,
+                execution_devices=[by_id[i] for i in dev_ids])
             _log(f"{name}: AOT cache hit, load {time.time() - t0:.1f}s")
             return compiled
         except Exception as e:  # stale jaxlib, runtime mismatch, corrupt file
@@ -106,8 +110,13 @@ def jit_cached(name: str, fn, example_args, *, donate_argnums=(),
             from jax.experimental.serialize_executable import serialize
 
             payload, in_tree, out_tree = serialize(compiled)
+            # record the device assignment: deserialize_and_load defaults to
+            # ALL local devices, which breaks a 1-device executable loaded
+            # in a multi-device process (e.g. the 8-device CPU test mesh)
+            dev_ids = [d.id for d in
+                       compiled.runtime_executable().local_devices()]
             os.makedirs(AOT_DIR, exist_ok=True)
-            nbytes = _write(path, (payload, in_tree, out_tree))
+            nbytes = _write(path, (payload, in_tree, out_tree, dev_ids))
             _log(f"{name}: serialized {len(payload)} -> {nbytes} bytes "
                  f"gzipped -> {path}")
         except Exception as e:  # serialization unsupported on this backend
