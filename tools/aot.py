@@ -30,9 +30,11 @@ import time
 
 AOT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "aot")
 
-# The cache is NOT committed (see tools/aot/.gitignore): raw executables are
-# 5-75 MB each. It lives on disk so the driver's bench run on this machine
-# hits it; regenerate anywhere with `python tools/gen_aot_cache.py`.
+# The cache IS committed (tools/aot/*.bin, ~1-36 MB gzipped each): rounds 2-3
+# proved that uncommitted artifacts do not survive to the driver's bench run,
+# which then pays 10-20 min cold compiles per stage and times out. The key
+# embeds jax version + device kind + program text, so a mismatched environment
+# simply misses and recompiles. Regenerate with `python tools/gen_aot_cache.py`.
 
 
 def _read(path: str):
