@@ -67,6 +67,34 @@ def test_program_change_rekeys(aot_dir):
     assert len(_files(aot_dir)) == 3
 
 
+def test_committed_entries_are_structurally_sound():
+    """Every committed tools/aot/*.bin must gunzip + unpickle into the
+    (payload, in_tree, out_tree, dev_ids) tuple jit_cached wrote.
+
+    The cache is committed so the driver's bench run skips the 10-20 min
+    remote cold compiles (BENCH_r02/r03 lost every stage to them); a
+    corrupt or stale-format entry would silently degrade the driver run
+    back to a cold compile, so structural validity is pinned here. Full
+    deserialize_and_load needs the real TPU runtime and is exercised by
+    bench.py itself.
+    """
+    committed = _files(aot.AOT_DIR)
+    if not committed:
+        pytest.skip("no committed AOT entries on this checkout")
+    for name in committed:
+        entry = aot._read(os.path.join(aot.AOT_DIR, name))
+        assert isinstance(entry, tuple) and len(entry) == 4, name
+        payload, in_tree, out_tree, dev_ids = entry
+        assert isinstance(payload, bytes) and len(payload) > 0, name
+        assert isinstance(dev_ids, list) and dev_ids, name
+        assert all(isinstance(i, int) for i in dev_ids), name
+        # the trees must be reusable pytree defs (init programs take no
+        # arguments, so in_tree may have zero leaves — but it must still
+        # be a real ((), {}) call signature node)
+        assert in_tree.num_nodes >= 1, name
+        assert out_tree.num_leaves >= 1, name
+
+
 def test_corrupt_entry_falls_back_to_compile(aot_dir):
     def f(x):
         return (x + 1.0).sum()
