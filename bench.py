@@ -110,8 +110,8 @@ STAGE_EST = {
     "fused": (460, 200),
     "train": (200, 130),
     "dopri5": (580, 220),
-    "adm256": (520, 200),
-    "adm512": (540, 220),
+    "adm256": (260, 100),
+    "adm512": (450, 270),
     "int8": (440, 180),
 }
 # Order = verdict priority: guaranteed-cheap headline floor, then the full
@@ -462,12 +462,18 @@ def _adm_stage(preset_name, batch, nfe, key_prefix):
     mc = cfg.model
     model = create_network(mc, dtype=jnp.bfloat16, use_flash=True)
     hw = mc.latent_size
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1,)),
-                        jnp.zeros((1, hw, hw, mc.num_in_channels)), None)
+    # Inits MUST be one jitted program each: eager init through the axon
+    # tunnel pays ~1 s/op and the ADM UNet has hundreds of params — it was
+    # ~300 s of adm256's 330 s and the whole reason adm512 blew its budget
+    # in the round-4 driver run. The VAE init program is byte-identical to
+    # _dit_and_vae's, so it reuses the committed "vae_init" AOT entry.
+    params = _init_cached(f"{key_prefix}_init", lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1,)),
+        jnp.zeros((1, hw, hw, mc.num_in_channels)), None))
     vae = AutoencoderKL(dtype=jnp.bfloat16)
-    vae_params = vae.init(
-        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)), jax.random.PRNGKey(2)
-    )
+    vae_params = _init_cached("vae_init", lambda: vae.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)),
+        jax.random.PRNGKey(2)))
 
     sample = _sample_loop(model.apply, vae, batch, hw, nfe)
     jitted = _jit(key_prefix, sample,
