@@ -112,7 +112,7 @@ STAGE_EST = {
     "dopri5": (580, 220),
     "adm256": (260, 100),
     "adm512": (450, 270),
-    "int8": (440, 180),
+    "int8": (440, 270),
 }
 # Order = verdict priority: guaranteed-cheap headline floor, then the full
 # headline (sampling, upgraded by fused), the BASELINE dopri5 metric, train
@@ -303,7 +303,10 @@ def stage_int8():
     from lfm_tpu.nn.dit_int8 import dit_int8_apply, quantize_params_int8
 
     model, params, vae, vae_params = _dit_and_vae(use_flash=False)
-    qp = quantize_params_int8(model, params)
+    # quantization as ONE jitted program: eager per-tensor quantize ops
+    # through the axon tunnel cost ~1 s each (~150 s for DiT-L/2's tree)
+    qp = _jit("int8_quant", lambda p: quantize_params_int8(model, p),
+              (params,))(params)
 
     def apply_velocity(p, tb, x):
         return dit_int8_apply(model, p, tb, x)
