@@ -109,7 +109,7 @@ STAGE_EST = {
     "sampling": (420, 180),
     "fused": (460, 200),
     "train": (200, 130),
-    "dopri5": (580, 220),
+    "dopri5": (580, 180),
     "adm256": (260, 100),
     "adm512": (450, 270),
     "int8": (440, 270),
@@ -345,12 +345,17 @@ def stage_dopri5():
         use_flash=os.environ.get("BENCH_DOPRI5_FLASH", "1") == "1")
     sigma = float(os.environ.get("BENCH_DOPRI5_SIGMA", "0.03"))
     max_steps = int(os.environ.get("BENCH_DOPRI5_MAX_STEPS", "300"))
-    key = jax.random.PRNGKey(42)
-    leaves, treedef = jax.tree_util.tree_flatten(params)
-    keys = jax.random.split(key, len(leaves))
-    leaves = [p + sigma * jax.random.normal(k, p.shape, p.dtype)
-              for p, k in zip(leaves, keys)]
-    params = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    # ONE jitted program: perturbing ~500 leaves eagerly is ~2 tunnel RPCs
+    # per leaf (~200 s of the stage's 374 s in the round-4 driver run)
+    def perturb(p):
+        leaves, treedef = jax.tree_util.tree_flatten(p)
+        keys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+        leaves = [l + sigma * jax.random.normal(k, l.shape, l.dtype)
+                  for l, k in zip(leaves, keys)]
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    params = _jit("dopri5_perturb", perturb, (params,))(params)
 
     def sample(noise, p, vp):
         def velocity(t, x):
