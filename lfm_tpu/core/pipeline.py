@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["pipeline_blocks"]
+__all__ = ["pipeline_blocks", "pipeline_blocks_interleaved"]
 
 
 def pipeline_blocks(
@@ -101,3 +101,98 @@ def pipeline_blocks(
     outs = lax.psum(
         jnp.where(sidx == size - 1, outs, jnp.zeros_like(outs)), axis_name)
     return outs.reshape(b, *x.shape[1:])
+
+
+def pipeline_blocks_interleaved(
+    apply_chunk: Callable,
+    chunk_params,
+    x: jnp.ndarray,
+    c: jnp.ndarray,
+    axis_name: str,
+    num_chunks: int,
+    num_microbatches: Optional[int] = None,
+) -> jnp.ndarray:
+    """Interleaved (Megatron-style virtual-stage) pipeline over ``axis_name``.
+
+    Each device hosts ``num_chunks`` (=v) NON-contiguous slices of the block
+    stack: device d runs virtual stages d, S+d, …, (v-1)S+d, so an
+    activation circulates the same ``ppermute`` ring v times — every wrap
+    from the last device to device 0 promotes it to its next chunk. The
+    fill/drain bubble shrinks from (S-1)/(M+S-1) ticks of FULL-stage work
+    (GPipe, ``pipeline_blocks``) to (S-1)/(vM+S-1) ticks of 1/v-stage work —
+    the same (S-1)-chunk bubble amortized over v× more compute ticks —
+    WITHOUT shrinking the per-block matmul the way raising M does (the
+    round-4 measured failure mode of microbatch scaling: M=16 inverts).
+
+    Schedule consistency: device 0 injects fresh microbatches exactly at the
+    ticks (t mod vS < S) when the activation wrapping in from the last
+    device has just finished its FINAL chunk — so injection never displaces
+    a live loop-back, and the whole schedule stays one branch-free
+    ``lax.scan`` of vM + S - 1 ticks.
+
+    ``apply_chunk(one_chunk_params, x_mb, c_mb)`` applies one chunk's blocks
+    (depth/(S·v) of them). ``chunk_params`` leaves carry a leading LOCAL
+    chunk axis of size v, laid out so chunk k on this device holds global
+    virtual stage k·S + d — see ``sample/pp.py::interleave_block_params``.
+    ``num_microbatches`` (default S) must be a multiple of the stage count:
+    microbatches are injected in groups of S.
+    """
+    size = lax.psum(1, axis_name)
+    sidx = lax.axis_index(axis_name)
+    v = int(num_chunks)
+    assert v >= 1
+    if v == 1:
+        return pipeline_blocks(
+            lambda p, xb, cb: apply_chunk(
+                jax.tree_util.tree_map(lambda l: l[0], p), xb, cb),
+            chunk_params, x, c, axis_name, num_microbatches)
+    m = int(num_microbatches) if num_microbatches else int(size)
+    b = x.shape[0]
+    assert b % m == 0, f"batch {b} not divisible by {m} microbatches"
+    assert m % size == 0, (
+        f"interleaved schedule injects in groups of {size} stages; "
+        f"microbatches {m} must be a multiple")
+    vs = v * size
+
+    xs = x.reshape(m, b // m, *x.shape[1:])
+    cs = c.reshape(m, b // m, *c.shape[1:])
+    perm = [(i, (i + 1) % size) for i in range(size)]
+
+    def tick(carry, t):
+        state, outs = carry
+        # device 0: fresh injection for the first S ticks of each vS-tick
+        # group; the other (v-1)S ticks it promotes the loop-back it was
+        # handed (which is never final-chunk at those ticks — see docstring)
+        u0 = t % vs
+        mb_in = jnp.clip((t // vs) * size + u0, 0, m - 1)
+        inject = lax.dynamic_index_in_dim(xs, mb_in, axis=0, keepdims=False)
+        state = jnp.where((sidx == 0) & (u0 < size), inject, state)
+        # device d at tick t works tick u = (t - d) mod vS of group
+        # g = (t - d) // vS: chunk k = u // S of microbatch gS + (u mod S)
+        u = jnp.mod(t - sidx, vs)
+        g = (t - sidx) // vs
+        k = u // size
+        mb = jnp.clip(g * size + jnp.mod(u, size), 0, m - 1)
+        c_mb = lax.dynamic_index_in_dim(cs, mb, axis=0, keepdims=False)
+        p_k = jax.tree_util.tree_map(
+            lambda p: lax.dynamic_index_in_dim(p, k, axis=0, keepdims=False),
+            chunk_params)
+        state = apply_chunk(p_k, state, c_mb)
+        # only the last device's FINAL-chunk completions are real outputs;
+        # everything else (intermediate chunks, fill garbage) writes to the
+        # trash slot m — branch-free, nothing to mask afterwards
+        is_final = (sidx == size - 1) & (k == v - 1) & (g >= 0)
+        outs = lax.dynamic_update_index_in_dim(
+            outs, state.astype(outs.dtype), jnp.where(is_final, mb, m),
+            axis=0)
+        state = lax.ppermute(state, axis_name, perm)
+        return (state, outs), None
+
+    state0 = jnp.zeros_like(xs[0])
+    outs0 = jnp.zeros((m + 1,) + xs.shape[1:], xs.dtype)  # slot m = trash
+    (_, outs), _ = lax.scan(
+        tick, (state0, outs0), jnp.arange(v * m + size - 1))
+
+    outs = lax.psum(
+        jnp.where(sidx == size - 1, outs, jnp.zeros_like(outs)), axis_name)
+    return outs[:m].reshape(b, *x.shape[1:])

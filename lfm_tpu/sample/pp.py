@@ -27,10 +27,50 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from lfm_tpu.core.pipeline import pipeline_blocks
+from lfm_tpu.core.pipeline import pipeline_blocks, pipeline_blocks_interleaved
 from lfm_tpu.core.sharding import DATA_AXIS, PIPE_AXIS
 
-__all__ = ["make_pp_apply", "pp_param_specs", "pp_param_shardings"]
+__all__ = ["make_pp_apply", "pp_param_specs", "pp_param_shardings",
+           "interleave_block_params", "deinterleave_block_params"]
+
+
+def _permute_blocks(params, n_stages: int, num_chunks: int, inverse: bool):
+    def fix(tree, under_blocks):
+        if isinstance(tree, dict):
+            return {k: fix(v, under_blocks or k == "blocks")
+                    for k, v in tree.items()}
+        if not under_blocks:
+            return tree
+        depth = tree.shape[0]
+        assert depth % (n_stages * num_chunks) == 0, (
+            f"depth {depth} not divisible into {n_stages} stages x "
+            f"{num_chunks} chunks")
+        lc = depth // (n_stages * num_chunks)
+        if inverse:
+            t = tree.reshape(n_stages, num_chunks, lc, *tree.shape[1:])
+            t = jnp.swapaxes(t, 0, 1)
+        else:
+            t = tree.reshape(num_chunks, n_stages, lc, *tree.shape[1:])
+            t = jnp.swapaxes(t, 0, 1)
+        return t.reshape(depth, *tree.shape[1:])
+
+    return fix(params, False)
+
+
+def interleave_block_params(params, n_stages: int, num_chunks: int):
+    """Permute the ``blocks`` depth axis from the canonical checkpoint
+    order into the interleaved-pipeline placement order: after sharding the
+    leading axis over ``pipe``, device d's contiguous slab holds its
+    ``num_chunks`` virtual stages k*S + d (chunk-major). The tree structure
+    is unchanged — apply this AFTER loading a (converted reference)
+    checkpoint and BEFORE device placement; invert with
+    ``deinterleave_block_params`` before saving."""
+    return _permute_blocks(params, n_stages, num_chunks, inverse=False)
+
+
+def deinterleave_block_params(params, n_stages: int, num_chunks: int):
+    """Inverse of ``interleave_block_params`` (canonical order restore)."""
+    return _permute_blocks(params, n_stages, num_chunks, inverse=True)
 
 
 def pp_param_specs(model, params):
@@ -58,7 +98,8 @@ def pp_param_shardings(model, params, mesh: Mesh):
 
 def make_pp_apply(model, mesh: Mesh, *, data_axis: str = DATA_AXIS,
                   pipe_axis: str = PIPE_AXIS, has_labels: bool = True,
-                  num_microbatches: Optional[int] = None, train: bool = False):
+                  num_microbatches: Optional[int] = None, train: bool = False,
+                  num_chunks: int = 1):
     """Wrap a scanned DiT into apply(params, t, x[, y]) over GLOBAL arrays
     with the block stack pipelined over ``mesh[pipe_axis]``.
 
@@ -66,6 +107,11 @@ def make_pp_apply(model, mesh: Mesh, *, data_axis: str = DATA_AXIS,
     laid out per ``pp_param_shardings``. N/dp must divide into the
     microbatch count (default: the stage count S). Jit the result or call
     it inside an outer jit (e.g. as the train step's model_apply).
+
+    ``num_chunks`` > 1 selects the interleaved virtual-stage schedule
+    (core/pipeline.py::pipeline_blocks_interleaved — bubble /= num_chunks):
+    the blocks' depth axis must then be pre-permuted with
+    ``interleave_block_params(params, S, num_chunks)`` before placement.
     """
     from flax import linen as nn
 
@@ -76,19 +122,21 @@ def make_pp_apply(model, mesh: Mesh, *, data_axis: str = DATA_AXIS,
     assert model.scan_blocks and model.sp_axis is None, (
         "pipeline parallelism needs the scanned, non-sequence-parallel DiT")
     n_stages = mesh.shape[pipe_axis]
-    assert model.depth % n_stages == 0, (
-        f"depth {model.depth} not divisible by {n_stages} pipeline stages")
+    assert model.depth % (n_stages * num_chunks) == 0, (
+        f"depth {model.depth} not divisible by {n_stages} pipeline stages "
+        f"x {num_chunks} chunks")
     assert not (train and model.label_dropout > 0), (
         "label dropout under pp would need per-stage rng plumbing; train the "
         "CFG-dropout recipe with dp/fsdp/tp instead")
     local_depth = model.depth // n_stages
+    chunk_depth = local_depth // num_chunks
 
     stage = nn.scan(
         _ScanBlock,
         variable_axes={"params": 0},
         split_rngs={"params": True},
         in_axes=nn.broadcast,
-        length=local_depth,
+        length=chunk_depth,
         unroll=model.scan_unroll,
         metadata_params={nn.meta.PARTITION_NAME: None},
     )(model.hidden_size, model.num_heads, model.mlp_ratio, dtype=model.dtype,
@@ -125,8 +173,16 @@ def make_pp_apply(model, mesh: Mesh, *, data_axis: str = DATA_AXIS,
                 {"params": embed_p["y_embedder"]}, y, train)
             c = t_emb + y_emb
 
-            tok = pipeline_blocks(apply_stage, block_p, tok, c, pipe_axis,
-                                  num_microbatches)
+            if num_chunks > 1:
+                chunks = jax.tree_util.tree_map(
+                    lambda p: p.reshape(num_chunks, chunk_depth,
+                                        *p.shape[1:]), block_p)
+                tok = pipeline_blocks_interleaved(
+                    apply_stage, chunks, tok, c, pipe_axis, num_chunks,
+                    num_microbatches)
+            else:
+                tok = pipeline_blocks(apply_stage, block_p, tok, c,
+                                      pipe_axis, num_microbatches)
 
             out = FinalLayer(model.hidden_size, model.patch_size,
                              model.out_channels, dtype=model.dtype).apply(

@@ -190,3 +190,106 @@ def test_pp_rejects_bad_configs():
     with pytest.raises(AssertionError):  # label dropout needs rng per stage
         make_pp_apply(tiny_dit(num_classes=10, label_dropout=0.1), mesh,
                       train=True)
+
+
+def test_interleaved_pipeline_matches_sequential():
+    """The interleaved primitive on the same toy stack: every (S, v, M)
+    combination reproduces the sequential result. Chunk layout: device d
+    holds virtual stages k*S + d, chunk-major in its local slab."""
+    from lfm_tpu.core.pipeline import pipeline_blocks_interleaved
+
+    depth, b, t, d = 16, 8, 6, 16
+    rng = np.random.default_rng(10)
+    w = jnp.asarray(rng.normal(size=(depth, d, d)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+
+    def block(wi, xb, cb):
+        return jnp.tanh(xb @ wi + cb[:, None, :])
+
+    want = x
+    for i in range(depth):
+        want = block(w[i], want, c)
+
+    def apply_chunk(w_chunk, xb, cb):
+        def body(carry, wi):
+            return block(wi, carry, cb), None
+        out, _ = jax.lax.scan(body, xb, w_chunk)
+        return out
+
+    for pp, v, mb in [(4, 2, None), (4, 2, 8), (2, 4, 4), (4, 4, 4),
+                      (4, 1, 4), (8, 2, 8)]:
+        lc = depth // (pp * v)
+        # canonical depth order -> interleaved placement order
+        w_il = jnp.swapaxes(w.reshape(v, pp, lc, d, d), 0, 1).reshape(
+            depth, d, d)
+        mesh = make_mesh(dp=1, pp=pp, devices=jax.devices()[:pp])
+        fn = shard_map(
+            lambda w_, x_, c_: pipeline_blocks_interleaved(
+                apply_chunk,
+                jax.tree_util.tree_map(
+                    lambda p: p.reshape(v, lc, *p.shape[1:]), w_),
+                x_, c_, PIPE_AXIS, v, mb),
+            mesh=mesh, in_specs=(P(PIPE_AXIS), P(), P()), out_specs=P(),
+            check_vma=False)
+        got = jax.jit(fn)(w_il, x, c)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"pp={pp} v={v} mb={mb}")
+
+
+def test_interleaved_pp_dit_matches_unsharded():
+    """depth-8 DiT, pp=4 x dp=2, v=2 virtual chunks: same outputs as the
+    plain model after interleave_block_params; grads match after the
+    inverse permutation."""
+    from lfm_tpu.sample.pp import (deinterleave_block_params,
+                                   interleave_block_params)
+
+    mesh = make_mesh(dp=2, pp=4)
+    model = tiny_dit(depth=8, hidden_size=32, num_heads=2)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(8, 8, 8, 4)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(size=(8,)).astype(np.float32))
+    co = jnp.asarray(rng.normal(size=(8, 8, 8, 4)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), t, x, None)
+
+    il = interleave_block_params(params, 4, 2)
+    # round-trip sanity
+    for a, b in zip(jax.tree_util.tree_leaves(
+            deinterleave_block_params(il, 4, 2)),
+            jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    want = model.apply(params, t, x)
+    apply_il = make_pp_apply(model, mesh, has_labels=False, num_chunks=2)
+    got = jax.jit(apply_il)(il, t, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    g_il = jax.jit(jax.grad(lambda p: jnp.sum(apply_il(p, t, x) * co)))(il)
+    g_ref = jax.jit(jax.grad(
+        lambda p: jnp.sum(model.apply(p, t, x) * co)))(params)
+    flat_il = jax.tree_util.tree_leaves_with_path(
+        deinterleave_block_params(g_il, 4, 2))
+    flat_ref = jax.tree_util.tree_leaves(g_ref)
+    assert len(flat_il) == len(flat_ref)
+    for (path, a), b in zip(flat_il, flat_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_interleaved_rejects_bad_microbatches():
+    from lfm_tpu.core.pipeline import pipeline_blocks_interleaved
+
+    mesh = make_mesh(dp=1, pp=4, devices=jax.devices()[:4])
+    w = jnp.zeros((4, 2, 8, 8))
+    x = jnp.zeros((6, 3, 8))
+    c = jnp.zeros((6, 8))
+    fn = shard_map(
+        lambda w_, x_, c_: pipeline_blocks_interleaved(
+            lambda p, xb, cb: xb, w_, x_, c_, PIPE_AXIS, 2, 6),
+        mesh=mesh, in_specs=(P(PIPE_AXIS), P(), P()), out_specs=P(),
+        check_vma=False)
+    with pytest.raises(AssertionError):  # 6 % 4 != 0
+        jax.jit(fn)(w, x, c)
