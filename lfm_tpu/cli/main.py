@@ -74,6 +74,10 @@ def _build_parser():
                    help="sequence-parallel mesh axis (ring attention)")
     t.add_argument("--pp", type=int, default=None,
                    help="pipeline-parallel mesh axis (DiT block stages)")
+    t.add_argument("--pp_chunks", type=int, default=None,
+                   help="virtual pipeline stages per device (interleaved "
+                        "schedule: bubble /= pp_chunks; checkpoints stay "
+                        "canonical)")
     t.add_argument("--precision", type=str, default=None, choices=["bf16", "f32"])
     t.add_argument("--max_steps", type=int, default=None)
     t.add_argument("--remat_policy", type=str, default=None,
@@ -154,6 +158,9 @@ def _build_parser():
         s.add_argument("--pp", type=int, default=None,
                        help="pipeline-parallel mesh axis for sampling "
                             "(DiT block stages over ICI)")
+        s.add_argument("--pp_chunks", type=int, default=None,
+                       help="virtual pipeline stages per device "
+                            "(interleaved schedule: bubble /= pp_chunks)")
         s.add_argument("--n_sample", type=int, default=None)
         s.add_argument("--generator", type=str, default=None)
         s.add_argument("--real_img_dir", type=str, default=None)
@@ -233,7 +240,8 @@ def _resolve_config(args):
         )
     data = over(config.data, dataset=args.dataset, datadir=args.datadir)
     mesh = over(config.mesh, dp=args.dp, fsdp=args.fsdp, tp=args.tp,
-                sp=getattr(args, "sp", None), pp=getattr(args, "pp", None))
+                sp=getattr(args, "sp", None), pp=getattr(args, "pp", None),
+                pp_chunks=getattr(args, "pp_chunks", None))
     config = dataclasses.replace(
         config, model=model, sample=sample, train=train_cfg, data=data, mesh=mesh,
     )

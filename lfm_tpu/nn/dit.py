@@ -75,6 +75,9 @@ DIT_CONFIGS = {
     # lfm-tpu extension (not in the reference table): test-scale config so
     # end-to-end loop/sharding tests stay cheap on a virtual CPU mesh.
     "DiT-T/2": (2, 64, 2, 4),
+    # depth-4 variant: the smallest depth that exercises pipeline stages x
+    # interleaved virtual chunks (pp=2 x pp_chunks=2) in loop-level tests
+    "DiT-T4/2": (4, 64, 2, 4),
 }
 
 _zeros = nn.initializers.zeros

@@ -31,7 +31,8 @@ from lfm_tpu.core.pipeline import pipeline_blocks, pipeline_blocks_interleaved
 from lfm_tpu.core.sharding import DATA_AXIS, PIPE_AXIS
 
 __all__ = ["make_pp_apply", "pp_param_specs", "pp_param_shardings",
-           "interleave_block_params", "deinterleave_block_params"]
+           "interleave_block_params", "deinterleave_block_params",
+           "permute_state_blocks", "pp_state_shardings"]
 
 
 def _permute_blocks(params, n_stages: int, num_chunks: int, inverse: bool):
@@ -71,6 +72,54 @@ def interleave_block_params(params, n_stages: int, num_chunks: int):
 def deinterleave_block_params(params, n_stages: int, num_chunks: int):
     """Inverse of ``interleave_block_params`` (canonical order restore)."""
     return _permute_blocks(params, n_stages, num_chunks, inverse=True)
+
+
+def _under_blocks(path) -> bool:
+    return any(getattr(k, "key", getattr(k, "name", None)) == "blocks"
+               for k in path)
+
+
+def permute_state_blocks(tree, n_stages: int, num_chunks: int, *,
+                         inverse: bool = False):
+    """``interleave_block_params`` generalized to ANY pytree (e.g. a full
+    TrainState: params + EMA + optax moment trees all mirror the param
+    structure): every array leaf under a ``blocks`` key has its leading
+    depth axis permuted between canonical checkpoint order and interleaved
+    pipeline placement order. Non-``blocks`` leaves (step counters, embedder
+    params, schedule state) pass through unchanged."""
+    if num_chunks <= 1:
+        return tree
+
+    def fix(path, x):
+        if not _under_blocks(path) or getattr(x, "ndim", 0) == 0:
+            return x
+        depth = x.shape[0]
+        assert depth % (n_stages * num_chunks) == 0, (
+            f"depth {depth} not divisible into {n_stages} stages x "
+            f"{num_chunks} chunks")
+        lc = depth // (n_stages * num_chunks)
+        if inverse:
+            t = x.reshape(n_stages, num_chunks, lc, *x.shape[1:])
+        else:
+            t = x.reshape(num_chunks, n_stages, lc, *x.shape[1:])
+        return jnp.swapaxes(t, 0, 1).reshape(depth, *x.shape[1:])
+
+    return jax.tree_util.tree_map_with_path(fix, tree)
+
+
+def pp_state_shardings(state, mesh: Mesh, *, pipe_axis: str = PIPE_AXIS):
+    """NamedSharding pytree for a full TrainState under pipeline
+    parallelism: every array leaf under a ``blocks`` key (params, EMA, optax
+    moments — they all mirror the param tree) shards its leading depth axis
+    over ``pipe`` (1/S per-device block memory, matching ``make_pp_apply``'s
+    shard_map in_specs so jit never gathers them); everything else
+    replicates."""
+    def walk(path, x):
+        spec = (P(pipe_axis) if _under_blocks(path) and getattr(x, "ndim", 0)
+                else P())
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(walk, state)
 
 
 def pp_param_specs(model, params):

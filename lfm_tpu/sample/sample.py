@@ -32,7 +32,8 @@ class SampleOutput(NamedTuple):
 def build_velocity(model, params, y: Optional[jnp.ndarray], cfg_scale: float,
                    num_classes: Optional[int], *, use_fused_dit: bool = False,
                    use_int8_dit: bool = False, params_pre: Optional[str] = None,
-                   shard_mesh=None, sp_mesh=None, pp_mesh=None):
+                   shard_mesh=None, sp_mesh=None, pp_mesh=None,
+                   pp_chunks: int = 1):
     """v(t, x) closure, CFG-fused when cfg_scale > 1 (test_flow_latent.py:55-59).
 
     With ``use_fused_dit``, eligible DiT models evaluate through the fused
@@ -54,10 +55,14 @@ def build_velocity(model, params, y: Optional[jnp.ndarray], cfg_scale: float,
         # Pipeline parallelism (core/pipeline.py): the DiT block stack is
         # staged over the `pipe` mesh axis, microbatches hop stages on ICI.
         # Param TREE is unchanged; placement per sample/pp.py shardings.
+        # pp_chunks > 1 selects the interleaved virtual-stage schedule
+        # (bubble /= pp_chunks); the caller (make_sampler) pre-permutes the
+        # block params into placement order ONCE at build time
         from lfm_tpu.sample.pp import make_pp_apply
 
-        pp_labeled = make_pp_apply(model, pp_mesh)
-        pp_unlabeled = make_pp_apply(model, pp_mesh, has_labels=False)
+        pp_labeled = make_pp_apply(model, pp_mesh, num_chunks=pp_chunks)
+        pp_unlabeled = make_pp_apply(model, pp_mesh, has_labels=False,
+                                     num_chunks=pp_chunks)
 
         def apply(t, x, yy):
             if yy is None:
@@ -254,12 +259,25 @@ def make_sampler(
             params = quantize_params_int8(model, params)
             params_pre = "int8"
 
+    pp_chunks = 1
+    if pp_mesh is not None and getattr(config.mesh, "pp_chunks", 1) > 1:
+        # interleaved pipeline schedule: permute the block params from the
+        # canonical checkpoint order into placement order ONCE here, outside
+        # jit (the checkpoint on disk stays canonical)
+        from lfm_tpu.core.sharding import PIPE_AXIS
+        from lfm_tpu.sample.pp import permute_state_blocks
+
+        pp_chunks = int(config.mesh.pp_chunks)
+        params = permute_state_blocks(
+            params, pp_mesh.shape[PIPE_AXIS], pp_chunks)
+
     def raw(params, vae_params, noise: jnp.ndarray, y) -> SampleOutput:
         velocity = build_velocity(model, params, y, sc.cfg_scale, num_classes,
                                   use_fused_dit=sc.use_fused_dit,
                                   use_int8_dit=sc.use_int8_dit,
                                   params_pre=params_pre,
-                                  sp_mesh=sp_mesh, pp_mesh=pp_mesh)
+                                  sp_mesh=sp_mesh, pp_mesh=pp_mesh,
+                                  pp_chunks=pp_chunks)
         z0, nfe = sample_latents(
             velocity, noise,
             method=sc.method, atol=sc.atol, rtol=sc.rtol,

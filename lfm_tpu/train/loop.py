@@ -52,8 +52,11 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
           mesh=None, log_fn: Callable = print, max_steps: Optional[int] = None):
     """Run training per config. Returns the final TrainState."""
     tc = config.train
+    pp = config.mesh.pp
+    pp_chunks = config.mesh.pp_chunks if pp > 1 else 1
     mesh = mesh if mesh is not None else make_mesh(config.mesh.dp, config.mesh.fsdp,
-                                                   config.mesh.tp, config.mesh.sp)
+                                                   config.mesh.tp, config.mesh.sp,
+                                                   pp)
     dataset = dataset if dataset is not None else get_dataset(config, seed=tc.seed)
     loader = DataLoader(dataset, tc.batch_size, shuffle=True, drop_last=True,
                         seed=tc.seed)
@@ -85,7 +88,20 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
 
     label_dropout = config.model.label_dropout > 0
 
-    if mesh.devices.size > 1 and not label_dropout:
+    if pp > 1:
+        # pipeline-parallel training: DiT block stages over the pipe mesh
+        # axis (core/pipeline.py; interleaved schedule when pp_chunks > 1).
+        # Checkpoints stay canonical: the state is permuted into placement
+        # order here and back before every save (canon()/_canonical below).
+        from lfm_tpu.sample.pp import make_pp_apply
+
+        assert not label_dropout, (
+            "pipeline-parallel training requires label_dropout == 0 "
+            "(per-stage dropout rng is not plumbed); train CFG-dropout "
+            "recipes with dp/fsdp/tp instead")
+        model_apply = make_pp_apply(model, mesh, train=True,
+                                    num_chunks=pp_chunks)
+    elif mesh.devices.size > 1 and not label_dropout:
         # multi-device: evaluate the net inside a shard_map so the Pallas
         # attention kernels keep working under SPMD (train.py helper);
         # label-dropout models keep the plain path (per-shard RNG would
@@ -107,8 +123,33 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
         fused_update=fused,
     )
     repl = replicated(mesh)
-    jstep = jit_train_step(step_fn, mesh)
-    state = jax.device_put(state, repl)
+    if pp > 1:
+        # placement order (interleaved when pp_chunks > 1) on-device, 1/S
+        # block memory; canonical checkpoint order on disk
+        from lfm_tpu.core.sharding import PIPE_AXIS
+        from lfm_tpu.sample.pp import permute_state_blocks, pp_state_shardings
+
+        n_stages = mesh.shape[PIPE_AXIS]
+        state_sh = pp_state_shardings(state, mesh)
+
+        def place(s):
+            return jax.device_put(
+                permute_state_blocks(s, n_stages, pp_chunks), state_sh)
+
+        def canon(tree):
+            return permute_state_blocks(tree, n_stages, pp_chunks,
+                                        inverse=True)
+    else:
+        state_sh = None
+
+        def place(s):
+            return jax.device_put(s, repl)
+
+        def canon(tree):
+            return tree
+
+    jstep = jit_train_step(step_fn, mesh, state_shardings=state_sh)
+    state = place(state)
 
     exp_path = config.exp_path
     os.makedirs(exp_path, exist_ok=True)
@@ -121,12 +162,12 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
         from lfm_tpu.core.convert_optimizer import load_reference_content
 
         state, init_epoch, _ = load_reference_content(tc.model_ckpt, config, model, tx)
-        state = jax.device_put(state, repl)
+        state = place(state)
         log_fn(f"=> resumed from reference checkpoint {tc.model_ckpt} "
                f"(epoch {init_epoch})")
     elif (tc.resume or ckpt.has_content(exp_path)) and ckpt.has_content(exp_path):
-        state, init_epoch = ckpt.restore_content(exp_path, state)
-        state = jax.device_put(state, repl)
+        state, init_epoch = ckpt.restore_content(exp_path, canon(state))
+        state = place(state)
         log_fn(f"=> resume checkpoint (epoch {init_epoch})")
 
     base_key = jax.device_put(jax.random.PRNGKey(tc.seed + 1), repl)
@@ -152,21 +193,24 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
                 if guard.preempted:
                     # TPU preemption (SIGTERM): flush a content checkpoint at
                     # the CURRENT epoch (it re-runs on resume) and exit clean
-                    ckpt.save_content(exp_path, state, epoch, config)
+                    ckpt.save_content(exp_path, canon(state), epoch, config)
                     log_fn(f"=> preemption signal: content checkpoint saved "
                            f"at epoch {epoch} (step {global_step})")
-                    return state
+                    return canon(state)
                 if max_steps is not None and global_step >= max_steps:
-                    return state
+                    return canon(state)
 
             if epoch % tc.plot_every == 0 and vae is not None:
-                _demo_plot(config, model, state, vae, vae_params, exp_path, epoch)
+                _demo_plot(config, model, canon(state), vae, vae_params,
+                           exp_path, epoch)
             if tc.save_content and epoch % tc.save_content_every == 0:
-                ckpt.save_content(exp_path, state, epoch + 1, config)
+                ckpt.save_content(exp_path, canon(state), epoch + 1, config)
             if epoch % tc.save_ckpt_every == 0:
-                ckpt.save_model(exp_path, state.ema_params if tc.use_ema else state.params,
-                                epoch)
-    return state
+                ckpt.save_model(
+                    exp_path,
+                    canon(state.ema_params if tc.use_ema else state.params),
+                    epoch)
+    return canon(state)
 
 
 def _demo_plot(config, model, state, vae, vae_params, exp_path, epoch):

@@ -128,16 +128,22 @@ def shard_mapped_model_apply(model, mesh: Mesh, *, train: bool = True):
     return model_apply
 
 
-def jit_train_step(train_step, mesh: Mesh):
+def jit_train_step(train_step, mesh: Mesh, state_shardings=None):
     """jit with explicit shardings: state replicated (dp) and outputs pinned
     replicated; the batch sharding is TAKEN FROM THE ARGUMENTS
     (in_shardings=None for the batch), so callers place batches themselves
     with ``core.sharding.shard_batch`` — which is what induces the gradient
-    psum over the data axis. Used by train/loop.py."""
+    psum over the data axis. Used by train/loop.py.
+
+    ``state_shardings``: optional NamedSharding pytree (or prefix) for the
+    TrainState, for layouts where the state is NOT replicated — e.g.
+    pipeline parallelism shards every ``blocks`` leaf over the pipe axis
+    (sample/pp.py::pp_state_shardings, 1/S per-device block memory)."""
     repl = NamedSharding(mesh, P())
+    ss = state_shardings if state_shardings is not None else repl
     return jax.jit(
         train_step,
-        in_shardings=(repl, None, repl),  # batch sharding comes from shard_batch
-        out_shardings=(repl, repl),
+        in_shardings=(ss, None, repl),  # batch sharding comes from shard_batch
+        out_shardings=(ss, repl),
         donate_argnums=(0,),
     )

@@ -293,3 +293,88 @@ def test_interleaved_rejects_bad_microbatches():
         check_vma=False)
     with pytest.raises(AssertionError):  # 6 % 4 != 0
         jax.jit(fn)(w, x, c)
+
+
+def test_pp_sampler_interleaved_chunks_matches():
+    """make_sampler with config.mesh.pp_chunks=2: the sampler permutes the
+    canonical params into placement order internally and the interleaved
+    schedule reproduces the contiguous-pp (and plain) latents."""
+    import dataclasses
+
+    from lfm_tpu.core.config import Config, MeshConfig, ModelConfig, SampleConfig
+    from lfm_tpu.sample.sample import make_sampler
+
+    mesh = make_mesh(dp=2, pp=4)
+    model = tiny_dit(depth=8, hidden_size=32, num_heads=2)
+    rng = np.random.default_rng(7)
+    # 16 samples / dp=2 -> 8 per shard; m defaults to S=4 microbatches
+    x = jnp.asarray(rng.normal(size=(16, 8, 8, 4)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1,)),
+                        jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32))
+    config = Config(
+        model=ModelConfig(model_type="DiT-T/2", image_size=64, num_classes=1),
+        sample=SampleConfig(method="euler", num_steps=4),
+    )
+    plain = make_sampler(config, model, params, jit=True)
+    il_cfg = dataclasses.replace(config, mesh=MeshConfig(pp=4, pp_chunks=2))
+    il = make_sampler(il_cfg, model, params, jit=True, pp_mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(il(x).latents), np.asarray(plain(x).latents),
+        rtol=2e-4, atol=2e-4)
+
+
+def test_loop_train_pp_interleaved_matches_plain(tmp_path):
+    """Loop-level pipelined training (config.mesh.pp=2, pp_chunks=2, via
+    train/loop.py): the pp run's params, EMA, and checkpoints are CANONICAL
+    and match a plain dp-only run step for step — including a resume through
+    a content checkpoint (placement permutation round-trips through disk)."""
+    import dataclasses
+
+    from lfm_tpu.core.config import (Config, MeshConfig, ModelConfig,
+                                     TrainConfig)
+    from lfm_tpu.train.loop import train
+
+    class TinyLatents:
+        num_classes = 1
+
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(100 + i)
+            return rng.normal(size=(8, 8, 4)).astype(np.float32), 0
+
+    def cfg(exp, mesh_cfg, num_epoch=1, resume=False):
+        return Config(
+            exp=exp, dataset="synthetic_latent", output_dir=str(tmp_path),
+            model=ModelConfig(model_type="DiT-T4/2", image_size=64,
+                              num_classes=1),
+            mesh=mesh_cfg,
+            train=TrainConfig(batch_size=8, num_epoch=num_epoch, lr=1e-3,
+                              no_lr_decay=True, use_ema=True,
+                              save_content=True, save_content_every=1,
+                              save_ckpt_every=1, plot_every=100,
+                              precision="f32", resume=resume),
+        )
+
+    quiet = lambda *a: None  # noqa: E731
+    plain = train(cfg("pp_plain", MeshConfig()), dataset=TinyLatents(),
+                  log_fn=quiet)
+    pp_cfg = MeshConfig(pp=2, pp_chunks=2)
+    pp1 = train(cfg("pp_il", pp_cfg, num_epoch=0), dataset=TinyLatents(),
+                log_fn=quiet)
+    assert int(pp1.step) == 2
+    # resume from the content checkpoint (written canonical, re-permuted on
+    # load) and finish the second epoch
+    pp2 = train(cfg("pp_il", pp_cfg, num_epoch=1, resume=True),
+                dataset=TinyLatents(), log_fn=quiet)
+    assert int(pp2.step) == int(plain.step) == 4
+    for what, a, b in (("params", pp2.params, plain.params),
+                       ("ema", pp2.ema_params, plain.ema_params)):
+        fa = jax.tree_util.tree_leaves_with_path(a)
+        fb = jax.tree_util.tree_leaves(b)
+        assert len(fa) == len(fb)
+        for (path, la), lb in zip(fa, fb):
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb), rtol=5e-4, atol=1e-5,
+                err_msg=f"{what}:{jax.tree_util.keystr(path)}")

@@ -276,4 +276,8 @@ def test_dopri5_agrees_with_fine_euler(trained):
     z_adaptive = make("dopri5", 0)(noise).latents
     z_fine = make("euler", 800)(noise).latents
     err = float(jnp.max(jnp.abs(z_adaptive - z_fine)))
-    assert err < 5e-3, err
+    # bound dominated by euler-800's own O(h) error at the solver's rtol;
+    # 5.1e-3 observed since round 4 pinned the t1 dense output to
+    # torchdiffeq's DPS_C_MID quartic (test_controller_trace.py) instead of
+    # the round-1 Shampine-P fit the original 5e-3 bound was picked against
+    assert err < 1e-2, err
