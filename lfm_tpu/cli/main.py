@@ -50,6 +50,16 @@ def _build_parser():
         sp.add_argument("--seed", type=int, default=None)
         sp.add_argument("--vae_ckpt", type=str, default=None,
                         help="converted/diffusers VAE checkpoint path")
+        # multi-process launch (reference MASTER_ADDR/PORT + world_size/rank,
+        # test_flow_latent.py:401-429): one process per host, one global mesh
+        sp.add_argument("--coordinator", type=str, default=None,
+                        help="multi-process rendezvous address host:port; "
+                             "omit on Cloud TPU pods (runtime-provided)")
+        sp.add_argument("--num_procs", type=int, default=None,
+                        help="multi-process world size (one process per "
+                             "host); the mesh spans all global devices")
+        sp.add_argument("--process_id", type=int, default=None,
+                        help="this process's rank in --num_procs")
 
     t = sub.add_parser("train")
     common(t)
@@ -266,9 +276,10 @@ def _load_model_and_params(config, args):
     if not config.model.is_dit and (config.model.num_classes or 0) > 1:
         y0 = jnp.zeros((1,), jnp.int32)
     key = jax.random.PRNGKey(0)
-    template = model.init({"params": key, "label_dropout": key},
-                          jnp.zeros((1,)),
-                          jnp.zeros((1, s, s, config.model.num_in_channels)), y0)
+    # init under jit: eager init is ~1s/op through a remote-TPU tunnel
+    template = jax.jit(model.init)(
+        {"params": key, "label_dropout": key}, jnp.zeros((1,)),
+        jnp.zeros((1, s, s, config.model.num_in_channels)), y0)
     path = args.ckpt
     if path is None:
         path = os.path.join(config.exp_path, f"model_{config.sample.epoch_id}")
@@ -298,8 +309,9 @@ def _load_downstream_params(config, args, cond_template=None):
 
     model = create_network(config.model, dtype=jnp.bfloat16)
     s = config.model.latent_size
-    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1,)),
-                          jnp.zeros((1, s, s, config.model.num_in_channels)))
+    template = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1,)),
+        jnp.zeros((1, s, s, config.model.num_in_channels)))
     cond_template = cond_template if cond_template is not None else {}
     path = args.ckpt
     if path and path.endswith(".pth"):
@@ -331,13 +343,22 @@ def _load_vae(args):
 
         return vae, load_vae_params(args.vae_ckpt)
     print("[warn] no --vae_ckpt; using random VAE weights", file=sys.stderr)
-    params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
-                      jax.random.PRNGKey(1))
+    params = jax.jit(vae.init)(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)),
+                               jax.random.PRNGKey(1))
     return vae, params
 
 
 def main(argv=None):
     args = _build_parser().parse_args(argv)
+    if getattr(args, "num_procs", None) and args.num_procs > 1:
+        # multi-process launch (reference test_flow_latent.py:401-429 spawns
+        # a process per GPU with MASTER_ADDR/PORT): join the coordinator
+        # BEFORE any JAX device use, then run the same single program over
+        # the global mesh
+        from lfm_tpu.core.multihost import initialize
+
+        initialize(args.coordinator, args.num_procs, args.process_id)
     config = _resolve_config(args)
 
     if args.cmd == "train-inpainting":
@@ -403,7 +424,7 @@ def main(argv=None):
         num_cls = ds.num_classes
         config = _dc.replace(config, model=_dc.replace(config.model, num_in_channels=8))
         rescaler = SpatialRescaler(n_stages=3, multiplier=0.5, out_channels=4)
-        rtemplate = rescaler.init(
+        rtemplate = _jax.jit(rescaler.init)(
             _jax.random.PRNGKey(0),
             _jnp.zeros((1, config.model.image_size, config.model.image_size, num_cls)),
         )["params"]
@@ -482,15 +503,21 @@ def main(argv=None):
         else:
             print("[warn] no --inception_ckpt; random inception (smoke only)",
                   file=sys.stderr)
-            inc_params = FIDInceptionV3().init(jax.random.PRNGKey(0),
-                                               jnp.zeros((1, 32, 32, 3)))
+            inc_params = jax.jit(FIDInceptionV3().init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
         stats = config.sample.real_img_dir or args.real_img_dir
         fid = compute_fid(config, model, params, vae, vae_params, inc_params,
                           stats_path=stats, save_dir=args.save_dir)
-        print(f"FID = {fid}")
-        if config.sample.output_log:
-            with open(config.sample.output_log, "a") as f:
-                f.write(f"Epoch = {config.sample.epoch_id}, FID = {fid}\n")
+        # every process computes the identical score (allgathered acts);
+        # only one reports — the reference's rank-0 FID + log append
+        # (test_flow_latent_ddp.py:146-153)
+        from lfm_tpu.core.multihost import is_main_process
+
+        if is_main_process():
+            print(f"FID = {fid}")
+            if config.sample.output_log:
+                with open(config.sample.output_log, "a") as f:
+                    f.write(f"Epoch = {config.sample.epoch_id}, FID = {fid}\n")
 
     elif args.cmd == "nfe":
         # average NFE over trials, batch 1 (test_flow_latent.py:196-221)

@@ -45,8 +45,9 @@ def save_content(exp_path: str, state: TrainState, epoch: int, config: Config) -
             },
             force=True,
         )
-    with open(os.path.join(exp_path, "config.json"), "w") as f:
-        f.write(config.to_json())  # config provenance (train_flow_latent.py:100-101)
+    if jax.process_index() == 0:  # orbax wrote the tree; this file is ours
+        with open(os.path.join(exp_path, "config.json"), "w") as f:
+            f.write(config.to_json())  # config provenance (train_flow_latent.py:100-101)
 
 
 def restore_content(exp_path: str, state: TrainState) -> Tuple[TrainState, int]:

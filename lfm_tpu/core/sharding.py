@@ -61,10 +61,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(x, sharding: NamedSharding):
+    """``device_put`` that also works when ``sharding`` spans NON-ADDRESSABLE
+    devices (a mesh over multiple processes): ``device_put`` can only place
+    onto this process's devices, so in the multi-process case each process
+    contributes just its addressable shards of the full host value via
+    ``make_array_from_callback``. Requires every process to hold the SAME
+    full host value ``x`` (the single-controller SPMD contract — the
+    reference instead scatters per-rank tensors over NCCL,
+    ddp_utils.py:17-30)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    xnp = np.asarray(x)
+    return jax.make_array_from_callback(xnp.shape, sharding, lambda s: xnp[s])
+
+
+def put_tree(tree, sharding: NamedSharding):
+    """``put_global`` over a pytree (one sharding for every leaf)."""
+    return jax.tree_util.tree_map(lambda x: put_global(x, sharding), tree)
+
+
 def shard_batch(mesh: Mesh, batch):
-    """Place a host-side batch pytree onto the mesh, batch-dim sharded."""
+    """Place a host-side batch pytree onto the mesh, batch-dim sharded.
+    Multi-process safe: every process must hold the identical full batch
+    (deterministic loaders guarantee this); each keeps only its shards."""
     def put(x):
-        return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
+        return put_global(x, data_sharding(mesh, np.ndim(x)))
     return jax.tree_util.tree_map(put, batch)
 
 

@@ -14,6 +14,13 @@ batch-sharded over the data axis; only the 2048-d activations (or images, if
 saving JPEGs) ever reach the host. FID then scores in-memory activations
 against the reference's precomputed stats (eval/fid.py) — no 50k-file JPEG
 round-trip unless requested.
+
+Multi-host: the same single program runs unchanged over a mesh spanning
+multiple processes (the reference's multi-node Process-spawn path,
+test_flow_latent.py:401-429) — inputs are assembled from per-process
+callbacks instead of ``device_put`` (which cannot place onto non-addressable
+devices), and the 2048-d activations are ``process_allgather``-ed so every
+process scores the identical set (rank-0 semantics are implicit).
 """
 
 from __future__ import annotations
@@ -29,9 +36,19 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from lfm_tpu.core.config import Config
 from lfm_tpu.core.rng import SampleRNG
-from lfm_tpu.core.sharding import DATA_AXIS, make_mesh
+from lfm_tpu.core.sharding import (DATA_AXIS, make_mesh, put_global as
+                                   _put_global, put_tree as _put_tree)
 from lfm_tpu.sample.sample import (build_velocity, resolve_eval_noise,
                                    sample_latents)
+
+
+def _gather(x) -> np.ndarray:
+    """Global device array -> full host numpy on EVERY process."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
 def make_sharded_generator(
@@ -42,9 +59,15 @@ def make_sharded_generator(
     vae_params=None,
     inception_params=None,
     mesh=None,
+    need_images: bool = True,
 ):
     """Returns (step_fn, n_steps, global_batch): step_fn(step_idx) generates
-    one globally-sharded batch and returns host numpy results."""
+    one globally-sharded batch and returns host numpy results.
+
+    ``need_images=False`` (FID-only runs) skips the per-step image transfer
+    to host — with activations requested, only ``global_batch x 2048`` floats
+    leave the device per step, which matters both over slow links and in a
+    multi-process gather."""
     mesh = mesh if mesh is not None else make_mesh()
     sc = config.sample
     n_dev = mesh.devices.size
@@ -94,19 +117,20 @@ def make_sharded_generator(
         out_shardings=(data, data if inception_params is not None else None, repl),
     )
 
-    p_repl = jax.device_put(params, repl)
-    v_repl = jax.device_put(vae_params, repl) if vae_params is not None else None
-    i_repl = jax.device_put(inception_params, repl) if inception_params is not None else None
+    p_repl = _put_tree(params, repl)
+    v_repl = _put_tree(vae_params, repl) if vae_params is not None else None
+    i_repl = (_put_tree(inception_params, repl)
+              if inception_params is not None else None)
 
     def step_fn(step: int):
         idx = rng.batch_indices(done=step * global_batch, batch=global_batch)
-        idx = jax.device_put(idx, data)
-        img, acts, nfe = jitted(p_repl, v_repl, i_repl, idx)
+        idx_host = np.clip(np.asarray(idx), 0, sc.n_sample - 1)
+        img, acts, nfe = jitted(p_repl, v_repl, i_repl, _put_global(idx, data))
         return (
-            np.asarray(img),
-            np.asarray(acts) if acts is not None else None,
-            float(nfe),
-            np.asarray(jnp.clip(idx, 0, sc.n_sample - 1)),
+            _gather(img) if need_images else None,
+            _gather(acts) if acts is not None else None,
+            float(nfe),  # replicated: every process holds a local replica
+            idx_host,
         )
 
     return step_fn, n_steps, global_batch
@@ -121,18 +145,24 @@ def generate_fid_activations(
     JPEGs with the reference's ``{index}.jpg`` naming
     (test_flow_latent.py:267-269)."""
     step_fn, n_steps, global_batch = make_sharded_generator(
-        config, model, params, vae, vae_params, inception_params, mesh
+        config, model, params, vae, vae_params, inception_params, mesh,
+        need_images=save_dir is not None,
     )
     n = config.sample.n_sample
     acts = np.zeros((n, 2048), np.float32)
     seen = np.zeros(n, bool)
+    save_here = save_dir is not None
+    if save_here and jax.process_count() > 1:
+        from lfm_tpu.core.multihost import is_main_process
+
+        save_here = is_main_process()  # every process holds all images
     for step in range(n_steps):
         img, a, _, idx = step_fn(step)
         for row, i in enumerate(idx):
             if not seen[i]:
                 acts[i] = a[row]
                 seen[i] = True
-        if save_dir is not None:
+        if save_here:
             from PIL import Image
 
             os.makedirs(save_dir, exist_ok=True)

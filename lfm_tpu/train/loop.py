@@ -19,8 +19,10 @@ import numpy as np
 
 from lfm_tpu.core import checkpoint as ckpt
 from lfm_tpu.core.config import Config
+from lfm_tpu.core.multihost import is_main_process
 from lfm_tpu.core.preemption import PreemptionGuard
-from lfm_tpu.core.sharding import make_mesh, replicated, shard_batch
+from lfm_tpu.core.sharding import (make_mesh, put_global, put_tree,
+                                   replicated, shard_batch)
 from lfm_tpu.data import DataLoader, get_dataset
 from lfm_tpu.nn.factory import create_network
 from lfm_tpu.train.state import (
@@ -54,6 +56,20 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
     tc = config.train
     pp = config.mesh.pp
     pp_chunks = config.mesh.pp_chunks if pp > 1 else 1
+    # Multi-process (one process per host, reference train_flow_latent.py
+    # spawn path): the SAME program runs everywhere over one global mesh;
+    # logs/plots/config dumps are rank-0 only, the reference's `if rank == 0`
+    # gates (train_flow_latent.py:174-216). Checkpoint saves are COLLECTIVE:
+    # every process calls into Orbax (its save barrier syncs all processes)
+    # and Orbax's primary-host logic writes once to the shared exp_path.
+    main_proc = is_main_process()
+    if not main_proc:
+        log_fn = lambda *a, **k: None  # noqa: E731
+    if pp > 1:
+        assert jax.process_count() == 1, (
+            "pipeline-parallel training is single-process (pipe-sharded "
+            "state cannot be checkpointed from one rank); span hosts with "
+            "dp/fsdp/tp instead")
     mesh = mesh if mesh is not None else make_mesh(config.mesh.dp, config.mesh.fsdp,
                                                    config.mesh.tp, config.mesh.sp,
                                                    pp)
@@ -74,7 +90,9 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
     cin = config.model.num_in_channels
     y0 = jnp.zeros((1,), jnp.int32) if (config.model.num_classes or 0) > 0 else None
     init_rngs = {"params": key, "label_dropout": key}
-    params = model.init(init_rngs, jnp.zeros((1,)), jnp.zeros((1, s, s, cin)), y0)
+    # init under jit: eager init is ~1s/op through a remote-TPU tunnel
+    params = jax.jit(model.init)(init_rngs, jnp.zeros((1,)),
+                                 jnp.zeros((1, s, s, cin)), y0)
 
     tx = make_optimizer(tc, steps_per_epoch)
     state = create_train_state(params, tc, steps_per_epoch)
@@ -143,7 +161,7 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
         state_sh = None
 
         def place(s):
-            return jax.device_put(s, repl)
+            return put_tree(s, repl)  # multi-process safe (core/sharding.py)
 
         def canon(tree):
             return tree
@@ -152,9 +170,10 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
     state = place(state)
 
     exp_path = config.exp_path
-    os.makedirs(exp_path, exist_ok=True)
-    with open(os.path.join(exp_path, "config.json"), "w") as f:
-        f.write(config.to_json())
+    if main_proc:
+        os.makedirs(exp_path, exist_ok=True)
+        with open(os.path.join(exp_path, "config.json"), "w") as f:
+            f.write(config.to_json())
 
     init_epoch = 0
     if tc.model_ckpt and tc.model_ckpt.endswith(".pth") and os.path.exists(tc.model_ckpt):
@@ -170,7 +189,7 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
         state = place(state)
         log_fn(f"=> resume checkpoint (epoch {init_epoch})")
 
-    base_key = jax.device_put(jax.random.PRNGKey(tc.seed + 1), repl)
+    base_key = put_global(jax.random.PRNGKey(tc.seed + 1), repl)
     global_step = int(state.step)
     log_steps, t_start = 0, time.time()
 
@@ -200,7 +219,7 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
                 if max_steps is not None and global_step >= max_steps:
                     return canon(state)
 
-            if epoch % tc.plot_every == 0 and vae is not None:
+            if epoch % tc.plot_every == 0 and vae is not None and main_proc:
                 _demo_plot(config, model, canon(state), vae, vae_params,
                            exp_path, epoch)
             if tc.save_content and epoch % tc.save_content_every == 0:
@@ -220,9 +239,13 @@ def _demo_plot(config, model, state, vae, vae_params, exp_path, epoch):
     from lfm_tpu.sample.sample import make_sampler
 
     demo_cfg = config.replace(sample=SampleConfig(method="dopri5"))
-    sampler = make_sampler(demo_cfg, model,
-                           state.ema_params if config.train.use_ema else state.params,
-                           vae, vae_params)
+    params = state.ema_params if config.train.use_ema else state.params
+    if jax.process_count() > 1:
+        # rank-0-only plot: detach from the global (partly non-addressable)
+        # replicated arrays so the process-local sampler jit can place them
+        params = jax.tree_util.tree_map(np.asarray, params)
+        vae_params = jax.tree_util.tree_map(np.asarray, vae_params)
+    sampler = make_sampler(demo_cfg, model, params, vae, vae_params)
     rng = SampleRNG(seed=config.train.seed)
     s = config.model.latent_size
     noise = rng.randn(jnp.arange(4), (s, s, config.model.num_in_channels))

@@ -141,3 +141,114 @@ def test_real_two_process_rendezvous(tmp_path):
         assert "SYNC 4.0" in out, (i, out)
         assert f"SHARD {i}/2" in out, (i, out)
         assert "WORKER_OK" in out, (i, out)
+
+
+@pytest.mark.slow
+def test_real_two_process_sharded_fid(tmp_path):
+    """UN-mocked multi-process sharded FID (the reference's multi-node FID
+    path, test_flow_latent.py:401-429): two CPU processes x 4 local devices
+    form one dp=8 global mesh; each runs the sharded generator with real
+    cross-process input placement and activation allgather. Both processes
+    must hold the IDENTICAL activation set, equal to a single-process run on
+    the same-size mesh (world-topology invariance — the property the
+    reference's DeterministicGenerator exists for)."""
+    import socket
+    import subprocess
+    import sys
+    import os
+
+    import numpy as np
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    coord = f"127.0.0.1:{port}"
+    worker = os.path.join(os.path.dirname(__file__), "multihost_fid_worker.py")
+
+    outs = [str(tmp_path / f"acts_{i}.npy") for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, "2", str(i), outs[i]],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for i in range(2)
+    ]
+    for i, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"fid worker {i} failed:\n{err[-3000:]}"
+        assert "FID_WORKER_OK" in out, (i, out)
+
+    a0, a1 = np.load(outs[0]), np.load(outs[1])
+    np.testing.assert_array_equal(a0, a1)  # allgather: same set everywhere
+
+    # single-process reference on this test process's own 8-device mesh
+    from tests.sharded_fid_fixture import build_fixture, run_fixture
+
+    ref = run_fixture(build_fixture())
+    assert a0.shape == ref.shape == (16, 2048)
+    np.testing.assert_allclose(a0, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_real_two_process_training(tmp_path):
+    """UN-mocked multi-process TRAINING (the reference's DDP trainer spawn
+    path, train_flow_latent.py:339-429): two CPU processes x 4 local devices
+    form one dp=8 global mesh and run the full training loop — callback-based
+    batch placement, sharding-induced cross-process gradient all-reduce,
+    collective Orbax checkpointing to one shared exp dir (the production
+    shared-storage model; Orbax's save barrier syncs all processes, its
+    primary-host logic writes once). Both processes must converge to the
+    IDENTICAL final EMA state, equal to a single-process run on the
+    same-size mesh (world-topology invariance)."""
+    import socket
+    import subprocess
+    import sys
+    import os
+
+    import numpy as np
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    coord = f"127.0.0.1:{port}"
+    worker = os.path.join(os.path.dirname(__file__), "multihost_train_worker.py")
+
+    outs = [str(tmp_path / f"ema_{i}.npy") for i in range(2)]
+    exp = str(tmp_path / "exp_shared")  # one shared dir, as on a real pod
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, "2", str(i), outs[i], exp],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for i in range(2)
+    ]
+    for i, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"train worker {i} failed:\n{err[-3000:]}"
+        assert "TRAIN_WORKER_OK" in out, (i, out)
+
+    w0, w1 = np.load(outs[0]), np.load(outs[1])
+    np.testing.assert_array_equal(w0, w1)  # same SPMD program everywhere
+
+    # collective checkpoint + rank-0 config dump landed in the shared dir
+    exp0 = os.path.join(exp, "synthetic_latent", "mh_smoke")
+    assert os.path.isdir(os.path.join(exp0, "content"))
+    assert os.path.isdir(os.path.join(exp0, "model_0"))
+    assert os.path.exists(os.path.join(exp0, "config.json"))
+
+    # single-process reference on this test process's own 8-device mesh
+    from tests.multihost_train_fixture import run_train
+
+    ref = run_train(str(tmp_path / "exp_ref"))
+    assert w0.shape == ref.shape
+    np.testing.assert_allclose(w0, ref, rtol=1e-5, atol=1e-6)
