@@ -66,13 +66,15 @@ def train_inpainting(config: Config, dataset, vae, vae_params, *, mesh=None,
     model = create_network(config.model, dtype=jnp.bfloat16 if tc.precision == "bf16" else jnp.float32)
 
     s = config.model.latent_size
-    params_m = model.init(jax.random.PRNGKey(tc.seed), jnp.zeros((1,)),
-                          jnp.zeros((1, s, s, config.model.num_in_channels)))
+    # init + state build under jit (eager is ~1s/op through a TPU tunnel)
+    params_m = jax.jit(model.init)(
+        jax.random.PRNGKey(tc.seed), jnp.zeros((1,)),
+        jnp.zeros((1, s, s, config.model.num_in_channels)))
     tx = make_optimizer(tc, steps_per_epoch=max(len(dataset) // tc.batch_size, 1))
     params = {"model": params_m, "cond": {}}
-    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                       opt_state=tx.init(params),
-                       ema_params=jax.tree_util.tree_map(jnp.copy, params))
+    state = jax.jit(lambda p: TrainState(
+        step=jnp.zeros((), jnp.int32), params=p, opt_state=tx.init(p),
+        ema_params=jax.tree_util.tree_map(jnp.copy, p)))(params)
 
     def model_apply(p, t, x):
         return model.apply(p, t, x)
@@ -97,17 +99,19 @@ def train_semantic(config: Config, dataset, vae, vae_params, rescaler, *,
     model = create_network(config.model, dtype=jnp.bfloat16 if tc.precision == "bf16" else jnp.float32)
 
     s = config.model.latent_size
-    params_m = model.init(jax.random.PRNGKey(tc.seed), jnp.zeros((1,)),
-                          jnp.zeros((1, s, s, config.model.num_in_channels)))
-    rparams = rescaler.init(
+    # init + state build under jit (eager is ~1s/op through a TPU tunnel)
+    params_m = jax.jit(model.init)(
+        jax.random.PRNGKey(tc.seed), jnp.zeros((1,)),
+        jnp.zeros((1, s, s, config.model.num_in_channels)))
+    rparams = jax.jit(rescaler.init)(
         jax.random.PRNGKey(tc.seed + 1),
         jnp.zeros((1, config.model.image_size, config.model.image_size, num_classes)),
     )["params"]
     tx = make_optimizer(tc, steps_per_epoch=max(len(dataset) // tc.batch_size, 1))
     params = {"model": params_m, "cond": rparams}
-    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                       opt_state=tx.init(params),
-                       ema_params=jax.tree_util.tree_map(jnp.copy, params))
+    state = jax.jit(lambda p: TrainState(
+        step=jnp.zeros((), jnp.int32), params=p, opt_state=tx.init(p),
+        ema_params=jax.tree_util.tree_map(jnp.copy, p)))(params)
 
     def model_apply(p, t, x):
         return model.apply(p, t, x)

@@ -95,7 +95,8 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
                                  jnp.zeros((1, s, s, cin)), y0)
 
     tx = make_optimizer(tc, steps_per_epoch)
-    state = create_train_state(params, tc, steps_per_epoch)
+    # optax init is eager per-leaf too — build the whole state in one program
+    state = jax.jit(lambda p: create_train_state(p, tc, steps_per_epoch))(params)
 
     if vae is not None:
         def encode_fn(x, k):
