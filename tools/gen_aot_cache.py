@@ -34,7 +34,9 @@ _KEY_RE = re.compile(r"^\[aot\] ([\w-]+): lower\+hash [\d.]+s key=([0-9a-f]+)")
 def main(argv):
     prune = "--prune" in argv
     argv = [a for a in argv if a != "--prune"]
-    stages = argv or list(bench.STAGES)
+    # full run covers ALL stages incl. the BENCH_STAGES-only opt-ins
+    # (sampling/fused/int8) so --prune never drops a still-valid entry
+    stages = argv or list(bench.ALL_STAGES)
     if prune and argv:
         print("[gen_aot] --prune requires a full run (no stage list)",
               file=sys.stderr)
