@@ -349,9 +349,22 @@ def _load_vae(args):
     return vae, params
 
 
+# Subcommands with a multi-process story (rank-0-gated writes, collective
+# checkpointing/allgather). The rest would run the identical computation on
+# every rank and race writing the same output files to shared storage —
+# reject the flags instead of corrupting output.
+_MULTIPROC_CMDS = ("train", "fid")
+
+
 def main(argv=None):
     args = _build_parser().parse_args(argv)
     if getattr(args, "num_procs", None) and args.num_procs > 1:
+        if args.cmd not in _MULTIPROC_CMDS:
+            raise SystemExit(
+                f"--num_procs > 1 is not supported for '{args.cmd}' (only "
+                f"{', '.join(_MULTIPROC_CMDS)} are multi-process aware; "
+                "other subcommands would duplicate work on every rank and "
+                "race on output files)")
         # multi-process launch (reference test_flow_latent.py:401-429 spawns
         # a process per GPU with MASTER_ADDR/PORT): join the coordinator
         # BEFORE any JAX device use, then run the same single program over

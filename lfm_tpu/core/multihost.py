@@ -115,6 +115,35 @@ def sync_hosts() -> float:
     return float(total)  # scalar transfer == the real barrier
 
 
+def any_process_flag(flag: bool) -> bool:
+    """Collective OR of a per-process host flag (True iff ANY process set
+    it). Single-process: returns the flag unchanged, no device work.
+
+    The preemption use case: SIGTERM lands at different step boundaries per
+    host, so a rank acting on its LOCAL flag enters the collective Orbax
+    save while the others enter the next step's cross-process grad
+    all-reduce — mismatched collectives deadlock the pod. Every rank calls
+    this at the same program point and all act (or none do) on the agreed
+    value. Same construction as ``sync_hosts``: each process contributes
+    its addressable shards, the sum reduces under jit with a replicated
+    out-sharding, and the scalar transfer is the synchronization."""
+    if jax.process_count() == 1:
+        return bool(flag)
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = np.asarray(jax.devices())
+    mesh = Mesh(devices, ("d",))
+    sharding = NamedSharding(mesh, P("d"))
+    val = np.float32(1.0 if flag else 0.0)
+    x = jax.make_array_from_callback(
+        (len(devices),), sharding,
+        lambda idx: np.full((1,), val, np.float32))
+    total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(x)
+    return float(total) > 0.0
+
+
 def data_shard() -> tuple:
     """(rank, world) for DataLoader host sharding."""
     return jax.process_index(), jax.process_count()

@@ -19,7 +19,7 @@ import numpy as np
 
 from lfm_tpu.core import checkpoint as ckpt
 from lfm_tpu.core.config import Config
-from lfm_tpu.core.multihost import is_main_process
+from lfm_tpu.core.multihost import any_process_flag, is_main_process
 from lfm_tpu.core.preemption import PreemptionGuard
 from lfm_tpu.core.sharding import (make_mesh, put_global, put_tree,
                                    replicated, shard_batch)
@@ -65,8 +65,10 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
     main_proc = is_main_process()
     if not main_proc:
         log_fn = lambda *a, **k: None  # noqa: E731
-    if pp > 1:
-        assert jax.process_count() == 1, (
+    # user-configuration invariants raise (never assert: stripped under -O,
+    # which would let an unsupported config train with wrong semantics)
+    if pp > 1 and jax.process_count() != 1:
+        raise NotImplementedError(
             "pipeline-parallel training is single-process (pipe-sharded "
             "state cannot be checkpointed from one rank); span hosts with "
             "dp/fsdp/tp instead")
@@ -114,10 +116,11 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
         # order here and back before every save (canon()/_canonical below).
         from lfm_tpu.sample.pp import make_pp_apply
 
-        assert not label_dropout, (
-            "pipeline-parallel training requires label_dropout == 0 "
-            "(per-stage dropout rng is not plumbed); train CFG-dropout "
-            "recipes with dp/fsdp/tp instead")
+        if label_dropout:
+            raise NotImplementedError(
+                "pipeline-parallel training requires label_dropout == 0 "
+                "(per-stage dropout rng is not plumbed); train CFG-dropout "
+                "recipes with dp/fsdp/tp instead")
         model_apply = make_pp_apply(model, mesh, train=True,
                                     num_chunks=pp_chunks)
     elif mesh.devices.size > 1 and not label_dropout:
@@ -193,6 +196,11 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
     base_key = put_global(jax.random.PRNGKey(tc.seed + 1), repl)
     global_step = int(state.step)
     log_steps, t_start = 0, time.time()
+    n_proc = jax.process_count()
+    # Multi-process preemption checks are collectives (host-synced); every
+    # 25 steps bounds both the sync overhead and the worst-case reaction
+    # lag (SIGTERM grace windows are tens of seconds).
+    preempt_check_every = 25
 
     with PreemptionGuard() as guard:
         for epoch in range(init_epoch, tc.num_epoch + 1):
@@ -210,13 +218,29 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
                     log_fn(f"epoch {epoch} iteration{it}, Loss: {float(metrics.loss)}, "
                            f"Train Steps/Sec: {sps:.2f}")
                     log_steps, t_start = 0, time.time()
-                if guard.preempted:
-                    # TPU preemption (SIGTERM): flush a content checkpoint at
-                    # the CURRENT epoch (it re-runs on resume) and exit clean
+                # TPU preemption (SIGTERM): the decision must be COLLECTIVE
+                # — SIGTERM lands at different step boundaries per host, so
+                # a rank acting on its LOCAL flag enters the collective
+                # Orbax save while the others enter the next step's
+                # cross-process all-reduce, deadlocking the pod. Single
+                # process acts on the local flag immediately (free); multi-
+                # process all-reduces the flag at a fixed cadence and every
+                # rank acts (or none does) on the agreed value.
+                if n_proc == 1:
+                    preempt = guard.preempted
+                else:
+                    preempt = (global_step % preempt_check_every == 0
+                               and any_process_flag(guard.preempted))
+                if preempt:
+                    # flush a content checkpoint at the CURRENT epoch (it
+                    # re-runs on resume) and exit clean
                     ckpt.save_content(exp_path, canon(state), epoch, config)
                     log_fn(f"=> preemption signal: content checkpoint saved "
                            f"at epoch {epoch} (step {global_step})")
                     return canon(state)
+                # max_steps is identical on every rank (same config), so
+                # this early return is collective by construction — if it
+                # ever becomes rank-dependent it needs any_process_flag too
                 if max_steps is not None and global_step >= max_steps:
                     return canon(state)
 

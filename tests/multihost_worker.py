@@ -54,6 +54,12 @@ def main():
     bar = multihost.sync_hosts()
     print(f"SYNC {bar}", flush=True)
 
+    # collective preemption decision (ADVICE r4): a flag set on ONE rank
+    # must be seen by ALL ranks (or none) at the same program point
+    one = multihost.any_process_flag(pid == 0)   # only rank 0 raises it
+    none = multihost.any_process_flag(False)
+    print(f"FLAG {one} {none}", flush=True)
+
     rank, world = multihost.data_shard()
     print(f"SHARD {rank}/{world}", flush=True)
     print("WORKER_OK", flush=True)

@@ -27,6 +27,21 @@ def test_single_host_gates():
     assert multihost.data_shard() == (0, 1)
 
 
+def test_any_process_flag_single_process():
+    # single-process fast path: the local flag, no device work
+    assert multihost.any_process_flag(True) is True
+    assert multihost.any_process_flag(False) is False
+
+
+def test_cli_rejects_multiproc_on_unaware_subcommands():
+    # ADVICE r4: sample/test-*/nfe/time would duplicate work on every rank
+    # and race on output files — the CLI must reject, not corrupt
+    from lfm_tpu.cli.main import main as cli_main
+
+    with pytest.raises(SystemExit, match="not supported"):
+        cli_main(["sample", "--preset", "celeb256_dit", "--num_procs", "2"])
+
+
 def test_sync_hosts_scalar_transfer(mesh8):
     # the barrier's return value is the transferred scalar (== device count);
     # float()-ing it is the synchronization point on the axon platform
@@ -139,6 +154,8 @@ def test_real_two_process_rendezvous(tmp_path):
         # 2 local devices/process, 4 global: sum = 2*1 + 2*2 = 6
         assert "GSUM 6.0" in out, (i, out)
         assert "SYNC 4.0" in out, (i, out)
+        # rank-0-only flag is visible on BOTH ranks; no-flag stays False
+        assert "FLAG True False" in out, (i, out)
         assert f"SHARD {i}/2" in out, (i, out)
         assert "WORKER_OK" in out, (i, out)
 
