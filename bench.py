@@ -343,27 +343,35 @@ def stage_sampling():
 
 def stage_fused():
     """Fused Pallas whole-block DiT path (kernels/dit_block.py) — same
-    workload as stage_sampling, higher value, much slower Mosaic compile."""
+    workload as stage_sampling, higher value, much slower Mosaic compile.
+    BENCH_FUSED_BATCH / BENCH_FUSED_SPC sweep the (batch, samples-per-cell)
+    grid: the bs16 loss is an occupancy question (4 cells of M=1024 rows)
+    and the sweep answers whether a bigger cell closes it."""
     import jax
     import jax.numpy as jnp
 
     from lfm_tpu.nn.dit_fused import cast_params_bf16, dit_fused_apply
 
+    batch = int(os.environ.get("BENCH_FUSED_BATCH", str(BATCH)))
+    spc = os.environ.get("BENCH_FUSED_SPC")
+    spc = int(spc) if spc else None
     model, params, vae, vae_params = _dit_and_vae(use_flash=True)
     bf = cast_params_bf16(params)
 
     def apply_velocity(p, tb, x):
-        return dit_fused_apply(model, p, tb, x)
+        return dit_fused_apply(model, p, tb, x, samples_per_cell=spc)
 
-    sample = _sample_loop(apply_velocity, vae, BATCH, 32, NFE)
+    sample = _sample_loop(apply_velocity, vae, batch, 32, NFE)
     jitted = _jit("fused", sample,
-                  (jnp.zeros((BATCH, 32, 32, 4)), bf, vae_params),
+                  (jnp.zeros((batch, 32, 32, 4)), bf, vae_params),
                   donate_argnums=(0,))
-    best = _time_sampling(jitted, BATCH, 32, bf, vae_params)
-    sps = BATCH / best
-    flops = BATCH * (NFE * DIT_L2_FWD_FLOPS_PER_SAMPLE + VAE_DECODE_FLOPS_PER_SAMPLE)
+    best = _time_sampling(jitted, batch, 32, bf, vae_params)
+    sps = batch / best
+    flops = batch * (NFE * DIT_L2_FWD_FLOPS_PER_SAMPLE + VAE_DECODE_FLOPS_PER_SAMPLE)
     return {"samples_per_sec_fused": round(sps, 4),
-            "sample_mfu_fused": round(flops / best / V5E_BF16_PEAK_FLOPS, 4)}
+            "sample_mfu_fused": round(flops / best / V5E_BF16_PEAK_FLOPS, 4),
+            "fused_config": f"batch {batch}, samples_per_cell "
+                            f"{spc or 'auto'}"}
 
 
 def stage_int8():
@@ -412,7 +420,15 @@ def stage_dopri5():
     Defaults follow the measured cross-batch/kernel optimum for this
     velocity net (docs/ROUND4.md §1: bs16 + plain-XLA attention beats every
     other point): the contract metric runs the fastest known config and
-    shares the floor stage's dit_init AOT entry."""
+    shares the floor stage's dit_init AOT entry.
+
+    BENCH_DOPRI5_NOISE: "auto" (default — the framework's production
+    sampling policy for bf16 nets, sample/sample.py) floors the error
+    ratio at the bf16 evaluation-noise level; round-5 sample-statistics
+    evidence (tools/eval_noise_evidence.py, docs/DESIGN.md) shows it moves
+    inception-stats FID by ~3e-12 (nothing) while cutting NFE 224 -> 165
+    at the same atol=rtol=1e-5. "0" measures exact-torchdiffeq controller
+    semantics (the round-4 number, kept in tools/bench_cache.json)."""
     import jax
     import jax.numpy as jnp
 
@@ -420,6 +436,8 @@ def stage_dopri5():
     from lfm_tpu.vae.autoencoder_kl import AutoencoderKL
 
     batch = int(os.environ.get("BENCH_DOPRI5_BATCH", "16"))
+    noise_cfg = os.environ.get("BENCH_DOPRI5_NOISE", "auto")
+    noise_cfg = "auto" if noise_cfg == "auto" else float(noise_cfg)
     model, params, vae, vae_params = _dit_and_vae(
         use_flash=os.environ.get("BENCH_DOPRI5_FLASH", "0") == "1")
     sigma = float(os.environ.get("BENCH_DOPRI5_SIGMA", "0.03"))
@@ -442,7 +460,8 @@ def stage_dopri5():
             return model.apply(p, tb, x)
 
         res = odeint(velocity, noise, 1.0, 0.0, method="dopri5",
-                     atol=1e-5, rtol=1e-5, max_steps=max_steps)
+                     atol=1e-5, rtol=1e-5, max_steps=max_steps,
+                     eval_noise=noise_cfg)
         img = vae.apply(vp, res.y / 0.18215, method=AutoencoderKL.decode)
         img = jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
         return jnp.float32(img.sum()), res.nfe
@@ -471,7 +490,8 @@ def stage_dopri5():
                                         / A100_BASELINE_SAMPLES_PER_SEC, 3),
             "dopri5_nfe_normalized_samples_per_sec":
                 round(batch / best * int(nfe) / NFE, 4),
-            "dopri5_config": f"batch {batch}, XLA attention, atol=rtol=1e-5"}
+            "dopri5_config": (f"batch {batch}, XLA attention, "
+                              f"atol=rtol=1e-5, eval_noise={noise_cfg}")}
 
 
 def stage_train():
