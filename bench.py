@@ -376,13 +376,20 @@ def stage_fused():
 
 def stage_int8():
     """Opt-in w8a8 int8 sampling path (nn/dit_int8.py): same workload as
-    stage_sampling with the block matmuls on the int8 MXU. Quantized
-    numerics (bounded error, tests/test_dit_int8.py) — recorded as an
-    extra, never as the bf16 headline."""
+    stage_sampling with the block matmuls on the int8 MXU. Defaults to its
+    MEASURED optimum, batch 16 (tools/int8_scope.py curve: int8 wins the
+    weight-bandwidth-bound batches <=16 — 9.97 samples/s at bs16, ABOVE the
+    9.13 bf16 headline — and loses compute-bound bs32/bs64; docs/DESIGN.md
+    "int8: where it pays"). Quantized numerics (bounded error,
+    tests/test_dit_int8.py; inception-stats shift 8.4e-11 on the calibrated
+    field, tools/int8_evidence.py) — recorded as an extra, never as the
+    bf16 headline: the evidence field has no trained-model activation
+    outliers, so FID-invisibility is protocol-level, not checkpoint-level."""
     import jax
 
     from lfm_tpu.nn.dit_int8 import dit_int8_apply, quantize_params_int8
 
+    batch = int(os.environ.get("BENCH_INT8_BATCH", "16"))
     model, params, vae, vae_params = _dit_and_vae(use_flash=False)
     # quantization as ONE jitted program: eager per-tensor quantize ops
     # through the axon tunnel cost ~1 s each (~150 s for DiT-L/2's tree)
@@ -394,16 +401,17 @@ def stage_int8():
 
     import jax.numpy as jnp
 
-    sample = _sample_loop(apply_velocity, vae, BATCH, 32, NFE)
+    sample = _sample_loop(apply_velocity, vae, batch, 32, NFE)
     jitted = _jit("int8", sample,
-                  (jnp.zeros((BATCH, 32, 32, 4)), qp, vae_params),
+                  (jnp.zeros((batch, 32, 32, 4)), qp, vae_params),
                   donate_argnums=(0,))
-    best = _time_sampling(jitted, BATCH, 32, qp, vae_params)
-    sps = BATCH / best
-    flops = BATCH * (NFE * DIT_L2_FWD_FLOPS_PER_SAMPLE + VAE_DECODE_FLOPS_PER_SAMPLE)
+    best = _time_sampling(jitted, batch, 32, qp, vae_params)
+    sps = batch / best
+    flops = batch * (NFE * DIT_L2_FWD_FLOPS_PER_SAMPLE + VAE_DECODE_FLOPS_PER_SAMPLE)
     return {"samples_per_sec_int8": round(sps, 4),
             "sample_mfu_int8_effective": round(
-                flops / best / V5E_BF16_PEAK_FLOPS, 4)}
+                flops / best / V5E_BF16_PEAK_FLOPS, 4),
+            "int8_config": f"batch {batch}, w8a8 block matmuls"}
 
 
 def stage_dopri5():

@@ -19,18 +19,27 @@ headline stays bf16 and the int8 numbers are recorded separately (bench.py
 stage "int8"). Pure XLA — jnp only — so it runs identically under jit on
 TPU (int8 MXU) and CPU (tests).
 
-MEASURED VERDICT (v5e, 2026-08-18): on this chip int8 does NOT win
-end-to-end — 6.41 samples/s vs 9.09 for the fused bf16 Pallas path at the
-north-star workload. Root cause, from tools/microbench_int8.py: XLA's int8
-dot on v5e sustains 194.9 TOP/s — the bf16 peak (197 TFLOP/s), NOT the
-datasheet's 2x int8 rate — so the dynamic quant/dequant epilogues are pure
-overhead (raw 1.54x over an unfused bf16 chain collapses to 1.12x with the
-epilogue, and to <1x against the VMEM-resident fused bf16 block; the same
-pipeline inside a Pallas kernel is no better, tools/microbench_int8_pallas
-.py: 1.18x over its bf16 twin, both far below the fused block's rate).
-The path is kept as a tested option for (a) memory-bound regimes — int8
-weights halve the per-eval weight traffic and the resident footprint — and
-(b) hardware/compiler versions where int8 genuinely runs 2x.
+MEASURED VERDICT (v5e; batch curve 2026-08-19, tools/int8_scope.py): int8
+is a WEIGHT-BANDWIDTH play on this chip, not a compute play — XLA's int8
+dot sustains 194.9 TOP/s, the bf16 peak (197 TFLOP/s), NOT the datasheet's
+2x rate (tools/microbench_int8.py; a Pallas pipeline is no better,
+tools/microbench_int8_pallas.py). It therefore wins exactly the batches
+where each NFE streams the weight tree from HBM (int8 halves the bytes of
+the four quantized matmuls, 302M of 458M params) and loses where the MXU
+is the limit:
+
+    batch          1      2      4      8      16     32     64
+    int8/bf16    1.17x  0.99x  1.06x  1.09x  1.09x  0.91x  0.70x
+
+Peak: 9.97 samples/s at bs16 — above the 9.13 bf16 cross-batch optimum.
+Quality: inception-stats Fréchet shift 8.4e-11 vs the bf16 path at n=256
+on the calibrated perturbed-weight field (tools/int8_evidence.py, same
+protocol as the eval_noise deviation), feature relRMS 1.4e-3. The bench
+HEADLINE stays bf16: the evidence field has no trained-model activation
+outliers, so the FID-invisibility is protocol-level — w8a8 on a released
+checkpoint still needs the one-command FID rerun before the 9.97 can be
+claimed at quality parity. int8 is the right opt-in for throughput-bound
+serving at small/medium batch and for the halved resident weight footprint.
 """
 
 from __future__ import annotations
