@@ -434,8 +434,8 @@ def stage_dopri5():
     sampling policy for bf16 nets, sample/sample.py) floors the error
     ratio at the bf16 evaluation-noise level; round-5 sample-statistics
     evidence (tools/eval_noise_evidence.py, docs/DESIGN.md) shows it moves
-    inception-stats FID by ~3e-12 (nothing) while cutting NFE 224 -> 165
-    at the same atol=rtol=1e-5. "0" measures exact-torchdiffeq controller
+    inception-stats FID by ~3e-12 (nothing) while cutting mean NFE
+    221 -> 157 over the evidence batches at the same atol=rtol=1e-5. "0" measures exact-torchdiffeq controller
     semantics (the round-4 number, kept in tools/bench_cache.json)."""
     import jax
     import jax.numpy as jnp
@@ -715,19 +715,30 @@ class _Record:
             self.unit = _unit(f", {result['floor_config']} [floor stage]")
         elif name == "sampling" and result["samples_per_sec"] > self.value:
             self.value = result["samples_per_sec"]
-            self.unit = _unit(f", batch {BATCH}")
+            self.unit = _unit(
+                f", batch {BATCH}, {result['sampling_config']}"
+                " [sampling stage]")
         elif (name == "fused"
               and result["samples_per_sec_fused"] > self.value):
+            # label with the stage's OWN config: BENCH_FUSED_BATCH/_SPC can
+            # move it off the module-level BATCH constant
             self.value = result["samples_per_sec_fused"]
-            self.unit = _unit(f", batch {BATCH}, fused Pallas DiT block")
+            self.unit = _unit(
+                f", {result['fused_config']}, fused Pallas DiT block")
             self.extra["sample_mfu"] = result["sample_mfu_fused"]
 
     def emit(self, final=False):
         not_live = sorted(set(self.skipped) | set(self.failed))
+        # set-or-clear: a stage that failed first and succeeded on retry
+        # must not stay labeled failed in the final record
         if self.failed:
             self.extra["failed"] = ",".join(sorted(set(self.failed)))
+        else:
+            self.extra.pop("failed", None)
         if self.skipped:
             self.extra["skipped"] = ",".join(sorted(set(self.skipped)))
+        else:
+            self.extra.pop("skipped", None)
         if final and not_live:
             cached = _load_cache(not_live)
             if cached:

@@ -90,6 +90,10 @@ def _build_parser():
                         "canonical)")
     t.add_argument("--precision", type=str, default=None, choices=["bf16", "f32"])
     t.add_argument("--max_steps", type=int, default=None)
+    t.add_argument("--preempt_check_every", type=int, default=None,
+                   help="multi-process preemption-flag all-reduce cadence "
+                        "in steps (worst-case SIGTERM reaction lag = "
+                        "cadence x step time; lower for slow-step configs)")
     t.add_argument("--remat_policy", type=str, default=None,
                    choices=["dots", "all_dots", "dots_attn"],
                    help="gradient-checkpoint policy for remat'd blocks "
@@ -247,6 +251,7 @@ def _resolve_config(args):
             batch_size=args.batch_size, seed=args.seed,
             model_ckpt=args.model_ckpt,
             remat_policy=args.remat_policy,
+            preempt_check_every=getattr(args, "preempt_check_every", None),
         )
     data = over(config.data, dataset=args.dataset, datadir=args.datadir)
     mesh = over(config.mesh, dp=args.dp, fsdp=args.fsdp, tp=args.tp,

@@ -124,6 +124,14 @@ class TrainConfig:
     model_ckpt: Optional[str] = None
     precision: str = "bf16"  # compute dtype policy: bf16 | f32
     steps_per_epoch: int = 0  # 0 => derive from dataset length
+    # multi-process preemption-flag all-reduce cadence, in steps. Must be
+    # identical on every rank (it gates a collective), hence config-derived
+    # — never wall-clock. The worst-case reaction lag to SIGTERM is
+    # (cadence x step time): lower it for slow-step configs (512px ADM,
+    # pipeline schedules at ~1 s/step) so the content checkpoint lands
+    # inside the preemption grace window; the check itself is one scalar
+    # all-reduce (~ms).
+    preempt_check_every: int = 25
 
 
 @dataclass(frozen=True)

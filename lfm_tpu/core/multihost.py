@@ -87,19 +87,18 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
-def sync_hosts() -> float:
-    """Barrier across hosts (reference dist.barrier,
-    test_flow_latent.py:275): a tiny all-device sum whose SCALAR RESULT is
-    transferred to the host. The device->host transfer is the
-    synchronization point — ``block_until_ready`` does NOT wait on the
-    axon-tunnel TPU platform (see CLAUDE.md environment rules), so we
-    ``float()`` the reduction instead. Returns the sum (== device count).
+def _collective_sum(val: float) -> float:
+    """Sum a per-process host scalar across every device: the one shared
+    primitive under ``sync_hosts`` and ``any_process_flag``.
 
     Multi-host correct: each process materializes only its ADDRESSABLE
     shards (``make_array_from_callback``; a plain ``device_put`` onto a
-    global mesh would try to write non-addressable devices), and the sum
-    runs under jit with a replicated out-sharding so every process can read
-    the scalar. Validated by the real 2-process rendezvous test
+    global mesh would try to write non-addressable devices), the sum runs
+    under jit with a replicated out-sharding so every process can read the
+    scalar, and the device->host SCALAR TRANSFER is the synchronization
+    point — ``block_until_ready`` does NOT wait on the axon-tunnel TPU
+    platform (see CLAUDE.md environment rules), so we ``float()`` the
+    reduction instead. Validated by the real 2-process rendezvous test
     (tests/test_multihost.py::test_real_two_process_rendezvous)."""
     import numpy as np
     import jax.numpy as jnp
@@ -108,11 +107,20 @@ def sync_hosts() -> float:
     devices = np.asarray(jax.devices())
     mesh = Mesh(devices, ("d",))
     sharding = NamedSharding(mesh, P("d"))
+    v = np.float32(val)
     x = jax.make_array_from_callback(
         (len(devices),), sharding,
-        lambda idx: np.ones((1,), np.float32))
+        lambda idx: np.full((1,), v, np.float32))
     total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(x)
     return float(total)  # scalar transfer == the real barrier
+
+
+def sync_hosts() -> float:
+    """Barrier across hosts (reference dist.barrier,
+    test_flow_latent.py:275): a tiny all-device sum whose scalar result is
+    transferred to the host (see ``_collective_sum``). Returns the sum
+    (== device count)."""
+    return _collective_sum(1.0)
 
 
 def any_process_flag(flag: bool) -> bool:
@@ -124,24 +132,10 @@ def any_process_flag(flag: bool) -> bool:
     save while the others enter the next step's cross-process grad
     all-reduce — mismatched collectives deadlock the pod. Every rank calls
     this at the same program point and all act (or none do) on the agreed
-    value. Same construction as ``sync_hosts``: each process contributes
-    its addressable shards, the sum reduces under jit with a replicated
-    out-sharding, and the scalar transfer is the synchronization."""
+    value (``_collective_sum`` of the 0/1 flag)."""
     if jax.process_count() == 1:
         return bool(flag)
-    import numpy as np
-    import jax.numpy as jnp
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-    devices = np.asarray(jax.devices())
-    mesh = Mesh(devices, ("d",))
-    sharding = NamedSharding(mesh, P("d"))
-    val = np.float32(1.0 if flag else 0.0)
-    x = jax.make_array_from_callback(
-        (len(devices),), sharding,
-        lambda idx: np.full((1,), val, np.float32))
-    total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(x)
-    return float(total) > 0.0
+    return _collective_sum(1.0 if flag else 0.0) > 0.0
 
 
 def data_shard() -> tuple:

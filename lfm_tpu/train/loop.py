@@ -197,10 +197,14 @@ def train(config: Config, *, dataset=None, vae=None, vae_params=None,
     global_step = int(state.step)
     log_steps, t_start = 0, time.time()
     n_proc = jax.process_count()
-    # Multi-process preemption checks are collectives (host-synced); every
-    # 25 steps bounds both the sync overhead and the worst-case reaction
-    # lag (SIGTERM grace windows are tens of seconds).
-    preempt_check_every = 25
+    # Multi-process preemption checks are collectives (host-synced); a
+    # fixed step cadence bounds the sync overhead, and because it comes
+    # from config it is identical on every rank (a wall-clock cadence
+    # would diverge across ranks and desynchronize the collective). The
+    # worst-case reaction lag is cadence x step time — configs with slow
+    # steps should lower tc.preempt_check_every so the checkpoint lands
+    # inside the SIGTERM grace window (see core/config.py).
+    preempt_check_every = max(1, int(tc.preempt_check_every))
 
     with PreemptionGuard() as guard:
         for epoch in range(init_epoch, tc.num_epoch + 1):

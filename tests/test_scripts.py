@@ -4,10 +4,11 @@ The reference ships exactly five scripts (reference bash_scripts/: run.sh,
 run_test.sh, run_test_ddp.sh, run_test_cls.sh, run_test_cls_ddp.sh —
 SURVEY.md §2.1 "Bash CLI" row); users drive every workflow through them
 with sourced test_args/*.txt argfiles. These tests pin (a) that each
-reference script name exists here, (b) that every `python -m
-lfm_tpu.cli.main <sub> ...` invocation the scripts construct parses
-against the real CLI parser — catching a renamed/removed flag before a
-user's shell does.
+reference script name exists here, (b) that EVERY `python -m
+lfm_tpu.cli.main <sub> ...` invocation the scripts construct — including
+run.sh's commented-out training recipes and flags on backslash-continued
+lines — parses against the real CLI parser, catching a renamed/removed
+flag before a user's shell does.
 """
 
 import os
@@ -31,42 +32,50 @@ def test_reference_script_names_all_present():
         assert os.path.exists(os.path.join(SCRIPTS, name)), name
 
 
-def _extract_flags(text):
-    """Flags passed to `python -m lfm_tpu.cli.main` across continuation
-    lines, plus the subcommand."""
-    m = re.search(r"python -m lfm_tpu\.cli\.main (\w[\w-]*)((?:.|\\\n)*)",
-                  text)
-    if not m:
-        return None, []
-    sub = m.group(1)
-    # first non-continued command: stop at the first line not ending in \
-    lines, body = [], m.group(2)
-    for ln in body.splitlines():
-        lines.append(ln)
-        if not ln.rstrip().endswith("\\"):
-            break
-    flags = re.findall(r"(--[\w-]+)", "\n".join(lines))
-    return sub, flags
+def _extract_invocations(text):
+    """Every (subcommand, [--flags]) a script constructs, with
+    backslash-continued lines joined and leading comment markers stripped
+    (run.sh keeps its recipes commented out — they are still the product)."""
+    logical, cur = [], ""
+    for raw in text.splitlines():
+        ln = re.sub(r"^\s*#\s?", "", raw)  # commented recipes count too
+        cont = ln.rstrip().endswith("\\")
+        cur += " " + (ln.rstrip()[:-1] if cont else ln)
+        if not cont:
+            logical.append(cur)
+            cur = ""
+    if cur:
+        logical.append(cur)
+    out = []
+    for ln in logical:
+        m = re.search(r"python -m lfm_tpu\.cli\.main\s+(\w[\w-]*)(.*)", ln)
+        if m:
+            out.append((m.group(1), re.findall(r"(--[\w-]+)", m.group(2))))
+    return out
+
+
+def test_extractor_sees_continuation_flags():
+    sub, flags = _extract_invocations(
+        "python -m lfm_tpu.cli.main fid --argfile a.txt \\\n"
+        "    --cfg_scale 1.5 \"${@:4}\"\n")[0]
+    assert sub == "fid" and flags == ["--argfile", "--cfg_scale"]
 
 
 @pytest.mark.parametrize("script", sorted(
     f for f in os.listdir(SCRIPTS) if f.endswith(".sh")))
 def test_script_flags_parse_against_cli(script):
     text = open(os.path.join(SCRIPTS, script)).read()
-    sub, flags = _extract_flags(text)
-    if sub is None:  # run.sh keeps its invocations commented out
-        assert script == "run.sh"
-        # still check the commented recipes' flags exist on `train`
-        flags = sorted(set(re.findall(r"(--[\w-]+)", text)))
-        sub = "train"
+    invocations = _extract_invocations(text)
+    assert invocations, f"{script}: no lfm_tpu.cli.main invocation found"
     parser = _build_parser()
     sub_actions = next(a for a in parser._actions
                        if hasattr(a, "choices") and a.choices)
-    assert sub in sub_actions.choices, (script, sub)
-    known = {s for a in sub_actions.choices[sub]._actions
-             for s in a.option_strings}
-    unknown = [f for f in flags if f not in known]
-    assert not unknown, (script, unknown)
+    for sub, flags in invocations:
+        assert sub in sub_actions.choices, (script, sub)
+        known = {s for a in sub_actions.choices[sub]._actions
+                 for s in a.option_strings}
+        unknown = [f for f in flags if f not in known]
+        assert not unknown, (script, sub, unknown)
 
 
 def test_cls_ddp_flag_combo_parses():
