@@ -45,9 +45,20 @@ def main(argv):
     for name in stages:
         cold, _ = bench.STAGE_EST[name]
         t0 = time.time()
-        proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--stage", name],
-            capture_output=True, text=True, timeout=cold * 3, cwd=REPO)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"),
+                 "--stage", name],
+                capture_output=True, text=True, timeout=cold * 3, cwd=REPO)
+        except subprocess.TimeoutExpired:
+            # a timed-out stage must not abort the sweep (the remaining
+            # stages still deserve their regen); it does mark the run
+            # not-ok so --prune refuses — a stage that didn't finish
+            # can't vouch for its entries
+            all_ok = False
+            print(f"[gen_aot] {name}: TIMEOUT after {cold * 3}s",
+                  file=sys.stderr, flush=True)
+            continue
         dur = time.time() - t0
         out = None
         for line in reversed(proc.stdout.strip().splitlines()):
