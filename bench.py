@@ -647,14 +647,19 @@ def _unit(note):
             f"bf16{note})")
 
 
+# stage name -> its main executable's jit-cache name, where they differ
+_STAGE_AOT_NAME = {"train": "train_step"}
+
+
 def _est(name):
     """Stage wall-clock estimate: warm when an AOT executable exists for
     the stage (the key suffix may still be stale — the hard timeout keeps
     cold headroom for that), cold otherwise."""
     cold, warm = STAGE_EST[name]
+    aot_name = _STAGE_AOT_NAME.get(name, name)
     try:
         entries = [f for f in os.listdir(AOT_DIR)
-                   if f.startswith(f"{name}-") and f.endswith(".bin")]
+                   if f.startswith(f"{aot_name}-") and f.endswith(".bin")]
     except OSError:
         entries = []
     return warm if entries else cold
