@@ -235,6 +235,67 @@ def _rk_step(func: Velocity, tab: Tableau, t, dt, y0, f0):
     return y1, f1, err, evals, ks
 
 
+def _rk_step_rolled(func: Velocity, tab: Tableau, t, dt, y0, f0):
+    """`_rk_step` with the stage loop ROLLED into a ``lax.scan`` so the
+    velocity field is traced/lowered ONCE per step instead of n_stages
+    times. This is a program-SIZE optimization, not a FLOPs one: with the
+    Python-unrolled loop a dopri5 sampling program inlines the network 6
+    extra times, and on the remote-compiled TPU path the cold
+    load/compile cost scales with program size (measured on the v5e
+    tunnel, DiT-L/2: unrolled dopri5 stage ~1,635 s first-ever vs euler's
+    ~283 s; see docs/DESIGN.md "Adaptive program size"). Runtime math is
+    identical.
+
+    Bitwise parity with `_rk_step` (asserted by
+    tests/test_solvers.py::test_rolled_step_bitwise_matches_unrolled):
+    the stage combination accumulates left-to-right over a zero-padded
+    tableau row, and the extra terms are exact ``+0.0`` (the k-buffer is
+    zero-initialized, IEEE ``x + 0.0 == x``), so every intermediate float
+    matches the skip-zeros sum of `_combine`. y1/err/f1 are computed by
+    the same code as `_rk_step` from the unstacked k list.
+    """
+    n = len(tab.c)
+    acc_t = _acc()
+    a_pad = np.zeros((n, n), dtype=np.float64)
+    for i in range(1, n):
+        a_pad[i, : len(tab.a[i])] = tab.a[i]
+    a_mat = jnp.asarray(a_pad, acc_t)
+    c_vec = jnp.asarray(np.asarray(tab.c, dtype=np.float64), acc_t)
+
+    kbuf0 = _tmap(
+        lambda f: jnp.zeros((n,) + jnp.shape(f), f.dtype).at[0].set(f), f0)
+
+    def stage(kbuf, i):
+        ti = t + c_vec[i] * dt
+        a_row = a_mat[i]
+
+        def leaf(y0l, kbl):
+            acc = y0l.astype(acc_t)
+            for j in range(n):  # fixed left-to-right order; padded zeros
+                acc = acc + (dt * a_row[j]) * kbl[j].astype(acc_t)
+            return acc.astype(y0l.dtype)
+
+        yi = _tmap(leaf, y0, kbuf)
+        ki = func(ti, yi)
+        kbuf = _tmap(
+            lambda kb, kl: lax.dynamic_update_index_in_dim(
+                kb, kl.astype(kb.dtype), i, 0), kbuf, ki)
+        return kbuf, None
+
+    kbuf, _ = lax.scan(stage, kbuf0, jnp.arange(1, n))
+    ks = [_tmap(lambda kb, j=j: kb[j], kbuf) for j in range(n)]
+    y1 = _combine(y0, ks, tab.b, dt)
+    err = _tmap(
+        lambda *kl: sum(
+            (dt * c) * k.astype(_acc()) for c, k in zip(tab.b_err, kl) if c != 0.0
+        ),
+        *ks,
+    )
+    f1 = ks[-1] if tab.fsal else func(t + dt, y1)
+    evals = (len(tab.c) - 1) + (0 if tab.fsal else 1)
+    return y1, f1, err, evals, ks
+
+
 def _interp_fit(y0, y1, ks, dt, c_mid):
     """torchdiffeq's quartic dense-output fit (rk_common.py::_interp_fit):
     a polynomial in x = (t - t0)/dt through y0 (x=0), y1 (x=1), the
@@ -309,6 +370,7 @@ def _odeint_adaptive(
     dfactor: float = 0.2,
     eval_noise: Any = 0.0,
     record_trace: bool = False,
+    unroll_stages: bool = False,
 ) -> ODEResult:
     """torchdiffeq-style adaptive integration. For dopri5 the final value is
     the quartic dense-output interpolant evaluated at t1 from the step that
@@ -383,7 +445,8 @@ def _odeint_adaptive(
             dt = jnp.where(jnp.abs(s.dt) > jnp.abs(remaining), remaining, s.dt)
             on_boundary = jnp.abs(dt) >= jnp.abs(remaining) - 1e-12
 
-        y1, f1, err, evals, ks = _rk_step(func, tab, s.t, dt, s.y, s.f)
+        step_fn = _rk_step if unroll_stages else _rk_step_rolled
+        y1, f1, err, evals, ks = step_fn(func, tab, s.t, dt, s.y, s.f)
         ratio = _error_ratio(err, s.y, y1, rtol, atol)
         if calibrate or (not isinstance(eval_noise, (int, float))) or eval_noise > 0.0:
             # noise floor: per-element std of the embedded error under
@@ -631,6 +694,7 @@ def odeint(
     max_steps: int = 10_000,
     eval_noise: Any = 0.0,
     record_trace: bool = False,
+    unroll_stages: bool = False,
 ) -> ODEResult:
     """Integrate dy/dt = func(t, y) from t0 to t1.
 
@@ -645,12 +709,16 @@ def odeint(
     additionally returns (t, dt, accept, error_ratio) arrays of length
     ``max_steps`` — one row per attempted step — for controller parity
     tests against the float64 torchdiffeq transliteration
-    (tests/tdq_ref.py).
+    (tests/tdq_ref.py). ``unroll_stages`` (adaptive only) Python-unrolls
+    the RK stage loop the way torchdiffeq's source reads; the default
+    rolls it into a ``lax.scan`` — bitwise the same math in a ~6x smaller
+    lowered program (see ``_rk_step_rolled``).
     """
     if method in ADAPTIVE_SOLVERS:
         return _odeint_adaptive(func, y0, t0, t1, method, rtol, atol, max_steps,
                                 eval_noise=eval_noise,
-                                record_trace=record_trace)
+                                record_trace=record_trace,
+                                unroll_stages=unroll_stages)
     if method in _FIXED_TABLEAUS:
         if num_steps is None:
             ss = step_size if step_size else 0.01

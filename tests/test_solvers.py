@@ -256,3 +256,66 @@ def test_resolve_eval_noise_policy():
         SampleConfig(method="dopri5", eval_noise="auto"), bf16) == "auto"
     assert resolve_eval_noise(
         SampleConfig(method="dopri8", eval_noise=0.0), bf16) == 0.0
+
+
+@pytest.mark.parametrize("method", ["dopri5", "bosh3", "adaptive_heun", "dopri8"])
+def test_rolled_step_bitwise_matches_unrolled(method, y0):
+    """The default rolled stage loop (_rk_step_rolled: one traced velocity
+    eval per step, ~6x smaller lowered program) must be BITWISE identical
+    to the Python-unrolled _rk_step on the whole integration — endpoint,
+    NFE, accept/reject counts. The rolled combination accumulates over a
+    zero-padded tableau row, and + (dt*0)*k is an exact +0.0."""
+    kw = dict(method=method, rtol=1e-5, atol=1e-5)
+    a = odeint(_field, y0, 1.0, 0.0, unroll_stages=False, **kw)
+    b = odeint(_field, y0, 1.0, 0.0, unroll_stages=True, **kw)
+    np.testing.assert_array_equal(np.asarray(a.y), np.asarray(b.y))
+    assert float(a.nfe) == float(b.nfe)
+    assert int(a.num_steps) == int(b.num_steps)
+    assert int(a.num_rejected) == int(b.num_rejected)
+
+
+def test_rolled_trace_bitwise_matches_unrolled():
+    """Per-attempt controller decisions (t, dt, accept, ratio) must match
+    bitwise between the rolled and unrolled stage loops, with the noise
+    floor engaged and under jit — the strongest form of the parity the
+    torchdiffeq oracle pins (tests/test_controller_trace.py runs the
+    rolled default)."""
+    from lfm_tpu.ode.solvers import _odeint_adaptive
+
+    y0 = jnp.asarray(np.random.default_rng(3).normal(size=(6,)), jnp.float32)
+
+    def run(unroll):
+        return jax.jit(
+            lambda y: _odeint_adaptive(
+                _field, y, 1.0, 0.0, "dopri5", 1e-5, 1e-5, max_steps=256,
+                eval_noise=1e-4, record_trace=True, unroll_stages=unroll)
+        )(y0)
+
+    (res_a, tr_a), (res_b, tr_b) = run(False), run(True)
+    np.testing.assert_array_equal(np.asarray(res_a.y), np.asarray(res_b.y))
+    assert float(res_a.nfe) == float(res_b.nfe)
+    for xa, xb in zip(tr_a, tr_b):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
+def test_rolled_matches_unrolled_pytree_x64():
+    """Same bitwise parity on a pytree state with the f64 controller (the
+    configuration the torchdiffeq-oracle tests run under)."""
+    with jax.enable_x64(True):
+        y0 = {"a": jnp.asarray(np.random.default_rng(5).normal(size=(3, 2)),
+                               jnp.float64),
+              "b": jnp.asarray(np.random.default_rng(6).normal(size=(4,)),
+                               jnp.float64)}
+
+        def field(t, y):
+            return {"a": y["a"] @ jnp.asarray(_A).T,
+                    "b": -0.7 * y["b"] + jnp.sin(3.0 * t)}
+
+        a = odeint(field, y0, 1.0, 0.0, method="dopri5", rtol=1e-7,
+                   atol=1e-7, unroll_stages=False)
+        b = odeint(field, y0, 1.0, 0.0, method="dopri5", rtol=1e-7,
+                   atol=1e-7, unroll_stages=True)
+        for k in y0:
+            np.testing.assert_array_equal(np.asarray(a.y[k]),
+                                          np.asarray(b.y[k]))
+        assert float(a.nfe) == float(b.nfe)
