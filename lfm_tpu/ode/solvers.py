@@ -246,13 +246,18 @@ def _rk_step_rolled(func: Velocity, tab: Tableau, t, dt, y0, f0):
     ~283 s; see docs/DESIGN.md "Adaptive program size"). Runtime math is
     identical.
 
-    Bitwise parity with `_rk_step` (asserted by
-    tests/test_solvers.py::test_rolled_step_bitwise_matches_unrolled):
-    the stage combination accumulates left-to-right over a zero-padded
+    Parity with `_rk_step`: a single jitted step is BITWISE identical
+    (tests/test_solvers.py::test_rolled_single_step_bitwise_matches_unrolled)
+    — the stage combination accumulates left-to-right over a zero-padded
     tableau row, and the extra terms are exact ``+0.0`` (the k-buffer is
     zero-initialized, IEEE ``x + 0.0 == x``), so every intermediate float
-    matches the skip-zeros sum of `_combine`. y1/err/f1 are computed by
-    the same code as `_rk_step` from the unstacked k list.
+    matches the skip-zeros sum of `_combine`; y1/err/f1 are computed by
+    the same code as `_rk_step` from the unstacked k list. Across a FULL
+    integration the two lowerings are different XLA programs and XLA may
+    FMA-contract the error-norm reduction differently per fusion context,
+    so whole-trajectory parity is decision-level (identical NFE and
+    accept/reject sequence) with ulp-bounded value drift
+    (test_rolled_integration_matches_unrolled).
     """
     n = len(tab.c)
     acc_t = _acc()

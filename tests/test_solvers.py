@@ -259,30 +259,62 @@ def test_resolve_eval_noise_policy():
 
 
 @pytest.mark.parametrize("method", ["dopri5", "bosh3", "adaptive_heun", "dopri8"])
-def test_rolled_step_bitwise_matches_unrolled(method, y0):
-    """The default rolled stage loop (_rk_step_rolled: one traced velocity
-    eval per step, ~6x smaller lowered program) must be BITWISE identical
-    to the Python-unrolled _rk_step on the whole integration — endpoint,
-    NFE, accept/reject counts. The rolled combination accumulates over a
-    zero-padded tableau row, and + (dt*0)*k is an exact +0.0."""
+def test_rolled_single_step_bitwise_matches_unrolled(method, y0):
+    """ONE jitted RK step of the rolled stage loop (_rk_step_rolled: one
+    traced velocity eval per step, ~6x smaller lowered program) must be
+    bitwise identical to the Python-unrolled _rk_step — y1, f1, and the
+    embedded error. The rolled combination accumulates over a zero-padded
+    tableau row in the same left-to-right order, and + (dt*0)*k is an
+    exact +0.0, so every intermediate float matches _combine's skip-zeros
+    sum. (Whole-INTEGRATION bitwise parity is not a well-defined contract
+    between two different XLA programs — see the next test.)"""
+    from lfm_tpu.ode.solvers import _get_tableau, _rk_step, _rk_step_rolled
+
+    tab = _get_tableau(method)
+    t, dt = jnp.float32(0.9), jnp.float32(-0.07)
+    f0 = _field(t, y0)
+    a = jax.jit(lambda t, dt, y, f: _rk_step(_field, tab, t, dt, y, f)[:3])(
+        t, dt, y0, f0)
+    b = jax.jit(
+        lambda t, dt, y, f: _rk_step_rolled(_field, tab, t, dt, y, f)[:3])(
+        t, dt, y0, f0)
+    for xa, xb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
+@pytest.mark.parametrize("method", ["dopri5", "bosh3", "adaptive_heun", "dopri8"])
+def test_rolled_integration_matches_unrolled(method, y0):
+    """Full integrations with the rolled vs unrolled stage loop must agree
+    at the decision level (NFE, accept/reject counts) with an ulp-bounded
+    endpoint difference. Exact whole-trajectory bitwise equality is NOT
+    guaranteed: the two lowerings are different XLA programs, and XLA is
+    free to FMA-contract/fuse the error-norm reduction differently per
+    fusion context (observed: a 1-ulp error-ratio difference for
+    adaptive_heun under the test mesh config, compounding to ~5e-7 on the
+    endpoint over ~250 steps while every controller decision still
+    matched). The per-step MATH is pinned bitwise by the previous test."""
     kw = dict(method=method, rtol=1e-5, atol=1e-5)
     a = odeint(_field, y0, 1.0, 0.0, unroll_stages=False, **kw)
     b = odeint(_field, y0, 1.0, 0.0, unroll_stages=True, **kw)
-    np.testing.assert_array_equal(np.asarray(a.y), np.asarray(b.y))
     assert float(a.nfe) == float(b.nfe)
     assert int(a.num_steps) == int(b.num_steps)
     assert int(a.num_rejected) == int(b.num_rejected)
+    np.testing.assert_allclose(
+        np.asarray(a.y), np.asarray(b.y), rtol=1e-5, atol=1e-6)
 
 
-def test_rolled_trace_bitwise_matches_unrolled():
+def test_rolled_trace_matches_unrolled():
     """Per-attempt controller decisions (t, dt, accept, ratio) must match
-    bitwise between the rolled and unrolled stage loops, with the noise
-    floor engaged and under jit — the strongest form of the parity the
-    torchdiffeq oracle pins (tests/test_controller_trace.py runs the
-    rolled default)."""
+    between the rolled and unrolled stage loops — accept bitwise, the
+    float fields to a few-ulp tolerance (same FMA-contraction caveat as
+    above) — with the noise floor engaged and under jit. The
+    authoritative decision-for-decision parity is against the float64
+    torchdiffeq oracle (tests/test_controller_trace.py), which runs the
+    rolled default."""
     from lfm_tpu.ode.solvers import _odeint_adaptive
 
-    y0 = jnp.asarray(np.random.default_rng(3).normal(size=(6,)), jnp.float32)
+    y0 = jnp.asarray(
+        np.random.default_rng(3).normal(size=(3, 2)), jnp.float32)
 
     def run(unroll):
         return jax.jit(
@@ -292,10 +324,19 @@ def test_rolled_trace_bitwise_matches_unrolled():
         )(y0)
 
     (res_a, tr_a), (res_b, tr_b) = run(False), run(True)
-    np.testing.assert_array_equal(np.asarray(res_a.y), np.asarray(res_b.y))
     assert float(res_a.nfe) == float(res_b.nfe)
-    for xa, xb in zip(tr_a, tr_b):
-        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+    assert int(res_a.num_steps) == int(res_b.num_steps)
+    assert int(res_a.num_rejected) == int(res_b.num_rejected)
+    np.testing.assert_allclose(
+        np.asarray(res_a.y), np.asarray(res_b.y), rtol=1e-5, atol=1e-6)
+    t_a, dt_a, acc_a, ratio_a = (np.asarray(x) for x in tr_a)
+    t_b, dt_b, acc_b, ratio_b = (np.asarray(x) for x in tr_b)
+    np.testing.assert_array_equal(acc_a, acc_b)
+    np.testing.assert_allclose(t_a, t_b, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(dt_a, dt_b, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(
+        ratio_a[np.isfinite(ratio_a)], ratio_b[np.isfinite(ratio_b)],
+        rtol=1e-5, atol=1e-6)
 
 
 def test_rolled_matches_unrolled_pytree_x64():
