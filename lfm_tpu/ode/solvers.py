@@ -716,8 +716,11 @@ def odeint(
     tests against the float64 torchdiffeq transliteration
     (tests/tdq_ref.py). ``unroll_stages`` (adaptive only) Python-unrolls
     the RK stage loop the way torchdiffeq's source reads; the default
-    rolls it into a ``lax.scan`` — bitwise the same math in a ~6x smaller
-    lowered program (see ``_rk_step_rolled``).
+    rolls it into a ``lax.scan`` — the same per-step math (bitwise on a
+    single step) with the velocity field traced once instead of
+    n_stages times, a 2.2x smaller lowered dopri5 sampling program
+    (19.4 -> 8.7 MB StableHLO on DiT-L/2 bs16; see ``_rk_step_rolled``
+    and docs/DESIGN.md "Adaptive program size").
     """
     if method in ADAPTIVE_SOLVERS:
         return _odeint_adaptive(func, y0, t0, t1, method, rtol, atol, max_steps,
