@@ -95,6 +95,36 @@ def test_committed_entries_are_structurally_sound():
         assert out_tree.num_leaves >= 1, name
 
 
+def test_lower_only_mode_checks_without_compiling(aot_dir, monkeypatch):
+    """AOT_LOWER_ONLY (tools/check_aot_drift.py's hook): the named program
+    is lowered and key-checked, then LowerOnlyDone is raised BEFORE any
+    deserialize or backend compile — and the verdict matches the cache."""
+
+    def f(x):
+        return (x * 2.0).sum()
+
+    x = jnp.ones((8,), jnp.float32)
+
+    monkeypatch.setenv("AOT_LOWER_ONLY", "t")
+    with pytest.raises(aot.LowerOnlyDone) as ei:
+        aot.jit_cached("t", f, (x,))
+    assert not ei.value.hit  # nothing cached yet
+    assert _files(aot_dir) == []  # and nothing was compiled/saved
+
+    # names not in the list behave normally
+    monkeypatch.setenv("AOT_LOWER_ONLY", "other")
+    c = aot.jit_cached("t", f, (x,))
+    assert float(c(x)) == 16.0
+    assert len(_files(aot_dir)) == 1
+
+    # now the same program checks as a HIT, still without loading
+    monkeypatch.setenv("AOT_LOWER_ONLY", "other,t")
+    with pytest.raises(aot.LowerOnlyDone) as ei:
+        aot.jit_cached("t", f, (x,))
+    assert ei.value.hit
+    assert _files(aot_dir)[0] == f"t-{ei.value.key}.bin"
+
+
 def test_corrupt_entry_falls_back_to_compile(aot_dir):
     def f(x):
         return (x + 1.0).sum()

@@ -58,6 +58,18 @@ def _log(msg: str) -> None:
     print(f"[aot] {msg}", file=sys.stderr, flush=True)
 
 
+class LowerOnlyDone(Exception):
+    """Raised by ``jit_cached`` in AOT_LOWER_ONLY mode once the named
+    program has been lowered and its cache key checked — no deserialize,
+    no backend compile, no execution. Lets tools/check_aot_drift.py verify
+    the committed cache against the CURRENT lowerings in seconds per stage
+    instead of re-running the full bench sweep."""
+
+    def __init__(self, name: str, key: str, hit: bool):
+        super().__init__(f"{name}: {'HIT' if hit else 'MISS'} key={key}")
+        self.name, self.key, self.hit = name, key, hit
+
+
 def fingerprint(lowered) -> str:
     """Cache key: jax version + device kind + lowered StableHLO text."""
     import jax
@@ -85,6 +97,13 @@ def jit_cached(name: str, fn, example_args, *, donate_argnums=(),
     key = fingerprint(lowered)
     _log(f"{name}: lower+hash {time.time() - t0:.1f}s key={key}")
     path = os.path.join(AOT_DIR, f"{name}-{key}.bin")
+    lower_only = {n for n in
+                  os.environ.get("AOT_LOWER_ONLY", "").split(",") if n}
+    if name in lower_only:
+        hit = os.path.exists(path)
+        _log(f"{name}: CHECK {'HIT' if hit else 'MISS'} "
+             f"({os.path.basename(path)})")
+        raise LowerOnlyDone(name, key, hit)
     if os.path.exists(path):
         try:
             from jax.experimental.serialize_executable import (
